@@ -1,0 +1,172 @@
+"""SymSpell-style dictionary corrector (deletion-variant index).
+
+A from-scratch implementation of the symmetric-delete spelling-correction
+algorithm (Garbe's SymSpell, public algorithm) specialized for this
+pipeline.  The reference drives ``symspellpy`` with
+``lookup(word, Verbosity.TOP, max_edit_distance=2, transfer_casing=True)``
+(memoocr/correct_ocr.py:347-375); this module re-specifies that behavior
+deterministically:
+
+* candidate generation — all prefix-limited deletes up to ``max_edit``;
+* metric — OSA (Damerau) distance with band cutoff;
+* TOP selection — smallest distance, then highest count, then
+  lexicographically smallest term (explicit total order: symspellpy's
+  tie-break on insertion order is replaced by a deterministic one);
+* transfer_casing — simplified, deterministic: all-upper input uppercases
+  the suggestion, initial-capital input capitalizes it (the char-level
+  diff transfer of symspellpy is not part of our spec).
+
+The index is built once on the driver from the broadcast lexicon table and
+shipped to executors via ``SparkContext.broadcast``; lookups run inside
+Arrow-batched kernels with per-batch memoization (Zipfian token streams
+make the memo hit rate very high).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from memo_fraktur_ocr_code_spark.functions.levtools import osa_distance
+from memo_fraktur_ocr_code_spark.functions.textspec import (
+    FALSE_POSITIVE_PAIRS,
+    KEEP_PUNCT,
+    NOISE_TOKENS,
+    PAGEBREAK,
+    tokenize,
+)
+
+DEFAULT_MAX_EDIT = 2
+DEFAULT_PREFIX_LEN = 7
+
+
+def _deletes(word: str, max_edit: int, out: set[str]) -> set[str]:
+    frontier = {word}
+    for _ in range(max_edit):
+        nxt = set()
+        for w in frontier:
+            if len(w) <= 1:
+                continue
+            for i in range(len(w)):
+                d = w[:i] + w[i + 1 :]
+                if d not in out:
+                    out.add(d)
+                    nxt.add(d)
+        frontier = nxt
+    return out
+
+
+class SymSpellIndex:
+    """Immutable deletion-variant index over a ``token -> count`` lexicon."""
+
+    __slots__ = ("words", "index", "max_edit", "prefix_len")
+
+    def __init__(
+        self,
+        lexicon: dict[str, int],
+        max_edit: int = DEFAULT_MAX_EDIT,
+        prefix_len: int = DEFAULT_PREFIX_LEN,
+    ):
+        self.words: dict[str, int] = dict(lexicon)
+        self.max_edit = max_edit
+        self.prefix_len = prefix_len
+        index: dict[str, list[str]] = defaultdict(list)
+        for w in self.words:
+            p = w[:prefix_len]
+            index[p].append(w)
+            for d in _deletes(p, max_edit, set()):
+                index[d].append(w)
+        # Deterministic candidate ordering regardless of dict-build order.
+        self.index = {k: tuple(sorted(v)) for k, v in index.items()}
+
+    @classmethod
+    def from_pairs(cls, pairs, **kw) -> "SymSpellIndex":
+        return cls({t: int(c) for t, c in pairs}, **kw)
+
+    def lookup_top(self, word: str) -> str | None:
+        """TOP-verbosity lookup on the *lowercased* word; returns the best
+        dictionary term or None when nothing is within ``max_edit``."""
+        w = word.lower()
+        max_edit = self.max_edit
+        if w in self.words:
+            return w
+        seen: set[str] = set()
+        best: tuple[int, int, str] | None = None
+        prefix = w[: self.prefix_len]
+        probes = {prefix}
+        _deletes(prefix, max_edit, probes)
+        for probe in probes:
+            for cand in self.index.get(probe, ()):
+                if cand in seen:
+                    continue
+                seen.add(cand)
+                if abs(len(cand) - len(w)) > max_edit:
+                    continue
+                d = osa_distance(w, cand, max_edit)
+                if d > max_edit:
+                    continue
+                key = (d, -self.words[cand], cand)
+                if best is None or key < best:
+                    best = key
+        return best[2] if best else None
+
+
+def transfer_casing(original: str, suggestion: str) -> str:
+    """Deterministic casing transfer (spec simplification of symspellpy's
+    ``transfer_casing=True``)."""
+    if original.isupper() and len(original) > 1:
+        return suggestion.upper()
+    if original[:1].isupper():
+        return suggestion[:1].upper() + suggestion[1:]
+    return suggestion
+
+
+def get_word_suggestion(
+    word: str, index: SymSpellIndex, memo: dict[str, str | None] | None = None
+) -> str | None:
+    """Per-token correction decision (memoocr/correct_ocr.py:347-375).
+
+    Noise tokens → None (caller passes the original through); informative
+    punctuation → kept; otherwise SymSpell TOP lookup with casing transfer,
+    false-positive cancellation and a PAGEBREAK guard.
+    """
+    if word in NOISE_TOKENS:
+        return None
+    if word in KEEP_PUNCT:
+        return word
+    if memo is not None and word in memo:
+        return memo[word]
+    top = index.lookup_top(word)
+    if top is not None:
+        suggestion = transfer_casing(word, top)
+        if (word, suggestion) in FALSE_POSITIVE_PAIRS:
+            suggestion = word
+        if PAGEBREAK in word:
+            suggestion = word
+    else:
+        suggestion = word
+    if memo is not None:
+        memo[word] = suggestion
+    return suggestion
+
+
+def word_correct_text(
+    text: str, index: SymSpellIndex, memo: dict[str, str | None] | None = None
+) -> str:
+    """SymSpell word-level correction of a multi-line text
+    (memoocr/correct_ocr.py:335-344).
+
+    Tokens of length ≤ 1 pass through; output normalizes intra-line
+    whitespace to single spaces (that *is* the spec).
+    """
+    out_lines = []
+    for line in text.splitlines():
+        tokens = tokenize(line)
+        corrected = []
+        for t in tokens:
+            if len(t) <= 1:
+                corrected.append(t)
+            else:
+                s = get_word_suggestion(t, index, memo)
+                corrected.append(s if s else t)
+        out_lines.append(" ".join(corrected))
+    return "\n".join(out_lines)

@@ -1,0 +1,151 @@
+"""Unit tests for the pure spec kernels (no Spark).
+
+Cases lifted from the reference's embedded fixtures and README work log
+(align_ocr.py:384-398; README.md:232-234)."""
+
+from __future__ import annotations
+
+from memo_fraktur_ocr_code_spark.functions.alignment import (
+    align_b_to_a,
+    alt_ocr_correct,
+    token_align,
+)
+from memo_fraktur_ocr_code_spark.functions.levtools import (
+    cer_from_ratio,
+    cer_of_pair,
+    get_difftype,
+    get_op_str,
+    indel_ratio,
+    levenshtein,
+    osa_distance,
+)
+from memo_fraktur_ocr_code_spark.functions.symspell import (
+    SymSpellIndex,
+    get_word_suggestion,
+    word_correct_text,
+)
+from memo_fraktur_ocr_code_spark.functions.textspec import (
+    assemble_turns,
+    clean_page_lines,
+    correct_easy,
+    fix_hyphens,
+    tokenize,
+)
+
+
+def test_tokenize_pads_punctuation():
+    assert tokenize('„Hr. Etatsraad Helmer, Candidatus"') == [
+        "„", "Hr", ".", "Etatsraad", "Helmer", ",", "Candidatus", '"',
+    ]
+    assert tokenize("") == []
+    assert tokenize("  a  b ") == ["a", "b"]
+
+
+def test_correct_easy_ordered_chain():
+    # œ-family → æ (correct_ocr.py:39-43)
+    assert correct_easy("grœæsrige") == "græsrige"
+    assert correct_easy("trœnge") == "trænge"
+    assert correct_easy("tæœt") == "tæt"
+    assert correct_easy("Lœevtag") == "Lævtag"  # œe→æ before œ→æ
+    # ſ→s and ,& → , & (ocr.py:34)
+    assert correct_easy("Huſet,&co") == "Huset, &co"
+
+
+def test_fix_hyphens_merges_across_strings():
+    out = fix_hyphens(["den gamle Mu-", "ren stod fast"])
+    assert out == ["den gamle Muren", "stod fast"]
+    # soft hyphen also merges
+    out2 = fix_hyphens(["Stil\xad", "linger her"])
+    assert out2[0] == "Stillinger"
+    # pilcrow round-trip
+    out3 = fix_hyphens(["a ¶ b", "c"])
+    assert out3 == ["a ¶ b", "c"]
+
+
+def test_clean_page_lines():
+    assert clean_page_lines(" 12 \nreal line\n   \nmore") == "real line\nmore"
+    # page-number heuristic only applies to line 0
+    assert clean_page_lines("text\n 12 x\n ab ") == "text\n 12 x\n ab "
+
+
+def test_assemble_turns_cross_turn_hyphen():
+    turns = ["4\nden gamle Mu-", "ren stod fast\nved Aaen"]
+    out = assemble_turns(turns)
+    assert out == ["den gamle Muren", "stod fast\nved Aaen"]
+    # arity always preserved, empty turns survive
+    out = assemble_turns(["", "abc", "   "])
+    assert len(out) == 3
+
+
+def test_levenshtein_and_ratio():
+    assert levenshtein("tyste", "tyske") == 1
+    assert levenshtein("", "abc") == 3
+    assert indel_ratio("abc", "abc") == 1.0
+    # Levenshtein.ratio semantics: subst costs 2
+    assert indel_ratio("ab", "ac") == 0.5
+    assert osa_distance("ab", "ba", 2) == 1  # transposition
+    assert osa_distance("abcdef", "x", 2) == 3  # cutoff → max+1
+
+
+def test_cer_defs_distinct():
+    assert cer_of_pair(1, "tyske") == 20.0
+    assert cer_of_pair(0, "x") == 0.0
+    assert cer_from_ratio(0.8) == 0.2
+
+
+def test_difftype_and_opstr():
+    assert get_difftype("tyste", "tyske") == "lev_1"
+    assert get_difftype("a_b", "ab") == "same_chars"
+    assert get_difftype("x", "x") == "match"
+    assert get_op_str("tyste", "tyske") == "t=k"
+    assert get_op_str("abc", "abcd") == "•=d"
+
+
+def test_align_b_to_a_rebuckets():
+    a = ("den", "gamle", "Mur", "stod")
+    b = ("den", "gam", "le", "Mur", "stod")
+    aligned = align_b_to_a(a, b)
+    assert len(aligned) == len(a)
+    assert aligned[0] == "den"
+    # canonical 1:N split join
+    corr, orig = token_align(("Etatsraad",), ("E", "ta", "tsraad"))
+    assert corr == ("Etatsraad",)
+    assert orig == ("E☐ta☐tsraad",)
+
+
+def test_symspell_lookup_and_guards():
+    lex = [("tyske", 100), ("største", 80), ("hus", 60), ("huset", 50)]
+    idx = SymSpellIndex.from_pairs(lex)
+    assert idx.lookup_top("tyste") == "tyske"
+    assert idx.lookup_top("tyske") == "tyske"
+    assert idx.lookup_top("xyzzyq") is None
+    # casing transfer
+    assert get_word_suggestion("Tyste", idx) == "Tyske"
+    # noise passes through as None
+    assert get_word_suggestion("——", idx) is None
+    # punctuation kept
+    assert get_word_suggestion("-", idx) == "-"
+
+
+def test_word_correct_text_whitespace_spec():
+    lex = [("tyske", 100), ("mand", 50)]
+    idx = SymSpellIndex.from_pairs(lex)
+    # single-space reassembly is part of the spec
+    assert word_correct_text("tyste   mand\nx", idx) == "tyske mand\nx"
+    # 1-char tokens never corrected
+    assert word_correct_text("a", idx) == "a"
+
+
+def test_alt_ocr_correct_canonical_cases():
+    """README.md:232-234 canonical hard-correction pairs."""
+    mf = frozenset()
+    # tyste + alt tyske → tyske (t→k at index 3)
+    assert alt_ocr_correct("tyste", "tyske", mf) == "tyske"
+    # storste + alt største → ordered replacement o→ø
+    out = alt_ocr_correct("storste", "største", mf)
+    assert out == "største"
+    # guard: token in most_frequent is never corrected
+    assert alt_ocr_correct("tyste", "tyske", frozenset(["tyste"])) == "tyste"
+    # newlines survive the pilcrow round-trip
+    out = alt_ocr_correct("tyste\nmand", "tyske\nmand", mf)
+    assert out == "tyske\nmand"

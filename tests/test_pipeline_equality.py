@@ -1,0 +1,81 @@
+"""Per-turn byte-equality: Spark pipeline vs single-node oracle.
+
+The correctness contract from BASELINE.json: per-turn corrected text must
+byte-equal the reference-shaped sequential implementation under the stable
+(turn_idx, ts) turn ordering — for every turn, including empty /
+noise-only / hyphen-donating turns and long (skewed) conversations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from memo_fraktur_ocr_code_spark.oracle.spec import correct_corpus
+from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+from memo_fraktur_ocr_code_spark.sources.fixtures import make_fixture
+
+
+def _to_dfs(spark, transcripts, alt_rows):
+    tdf = spark.createDataFrame(
+        transcripts,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    adf = spark.createDataFrame(
+        alt_rows, schema="conv_id string, turn_idx int, text string"
+    )
+    return tdf, adf
+
+
+def _compare(spark, transcripts, alt_rows, lexicon, **flags):
+    tdf, adf = _to_dfs(spark, transcripts, alt_rows)
+    got = {
+        (r.conv_id, r.turn_idx): r.corrected_text
+        for r in correct_pipeline(
+            spark, tdf, adf if flags.get("do_hard", True) else None,
+            lexicon, **flags
+        ).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["corrected_text"]
+        for r in correct_corpus(
+            transcripts,
+            alt_rows if flags.get("do_hard", True) else None,
+            lexicon,
+            **flags,
+        )
+    }
+    assert set(got) == set(want)
+    mismatches = {
+        k: (got[k], want[k]) for k in want if got[k] != want[k]
+    }
+    assert not mismatches, f"{len(mismatches)} turns differ: " + str(
+        list(mismatches.items())[:3]
+    )
+    assert len(got) == len(transcripts)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"do_easy": True, "do_hard": False, "do_sym": False},
+        {"do_easy": True, "do_hard": False, "do_sym": True},
+        {"do_easy": True, "do_hard": True, "do_sym": True},
+    ],
+    ids=["easy", "easy+sym", "full"],
+)
+def test_pipeline_byte_equality(spark, flags):
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=9)
+    _compare(spark, transcripts, alt_rows, lexicon, **flags)
+
+
+def test_pipeline_row_count_and_schema(spark):
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
+    tdf, adf = _to_dfs(spark, transcripts, alt_rows)
+    out = correct_pipeline(spark, tdf, adf, lexicon)
+    assert [f.name for f in out.schema.fields] == [
+        "conv_id",
+        "turn_idx",
+        "corrected_text",
+    ]
+    assert out.count() == len(transcripts)

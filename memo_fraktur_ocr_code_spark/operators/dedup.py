@@ -1,0 +1,296 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH and SimHash — each
+designed around one shuffle keyed by the dedup signature, never a naive
+O(n²) cross join at scale:
+
+* exact          — groupBy(normalized-text hash) → keep min id.  One
+                   shuffle; at 100 TB use a 128-bit content hash column so
+                   only (hash, id) shuffles, never the text.
+* ngram Jaccard  — shingle-explode + equi-join on shingle + pair-count
+                   aggregation (inverted-index join; candidate pairs only,
+                   no cross join).
+* MinHash + LSH  — shingle → k permuted min-hashes → band buckets →
+                   bucket equi-join for candidates → exact verify.
+* SimHash        — 64-bit weighted-bit signature; Hamming-adjacent
+                   candidates via 4×16-bit block buckets (Charikar 2002 /
+                   pigeonhole: dist ≤3 ⇒ one block equal).
+
+All hashing is Spark-native ``xxhash64`` (JVM, codegen) — deterministic
+across runs and executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Fixed odd LCG multipliers for MinHash permutations (seeded,
+# deterministic — parameters are part of the spec).  The 31-bit prime keeps
+# a*x+b far inside int64 under ANSI arithmetic.
+_MINHASH_PRIME = (1 << 31) - 1
+
+
+def normalize_text_col(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: one hash-aggregate shuffle, keep the
+    smallest id per group."""
+    norm = normalize_text_col(text_col)
+    return (
+        df.select(F.col(id_col), F.xxhash64(norm).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "n_dups")
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct character n-grams of normalized text.
+
+    Implemented via posexplode over a character-index sequence so shingling
+    stays JVM-side; no Python."""
+    norm = normalize_text_col(text_col).alias("_norm")
+    base = df.select(F.col(id_col).alias("id"), norm).where(
+        F.length("_norm") >= n
+    )
+    return (
+        base.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(_norm) - {n - 1}),"
+                        f" i -> substring(_norm, i, {n}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup candidate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on shingle (only co-shingled pairs meet),
+    then |A∩B| aggregation and |A|,|B| lookup — never a cross join."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, array<bigint> minhash signature).  h_i(s) = (a_i*x + b_i) mod p
+    over xxhash64 shingle values — all JVM expressions."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sh = sh.select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("x")
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(2 * i + 1) * F.col("x") + F.lit((i + 1) * 40503),
+                F.lit(_MINHASH_PRIME),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket equi-join for candidates,
+    then signature-estimated Jaccard filter.  Shuffles scale with
+    candidates, not n²."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=["band", "bucket"],
+        )
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+    return est
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit weighted majority of
+    token hashes — explode + bitwise expressions + sum aggregate, all JVM."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text_col(text_col), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = bit_sums.select(
+        "id",
+        F.aggregate(
+            F.array(
+                *[
+                    F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") if b == 0 else F.shiftleft(F.lit(1).cast("bigint"), b))
+                    .otherwise(F.lit(0).cast("bigint"))
+                    for b in range(64)
+                ]
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming, using
+    4×16-bit block buckets (pigeonhole: ≤3 differing bits ⇒ at least one
+    of 4 blocks identical) — candidates via bucket equi-join only."""
+    sigs = simhash_signatures(df, id_col, text_col).cache()
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), ["block", "key"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

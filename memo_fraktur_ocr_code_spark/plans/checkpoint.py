@@ -1,0 +1,105 @@
+"""Checkpoint manifests + resume-without-recompute.
+
+The reference's incremental machinery is dated intermediate directories
+plus per-step booleans (run_eval_pipeline.py:50-100, README.md:189-203).
+At 10^12 turns that becomes: stage outputs bucketed by conv_id hash, plus
+a manifest table recording per-bucket lineage and metrics
+``(stage, bucket, rows_out, wall_ms, input_fingerprint, n_convs)``.
+Resume = anti-join the completed buckets — an executor/job failure never
+recomputes finished buckets (north_rule requirement).
+
+Bucketing by ``xxhash64(conv_id) % n_buckets`` keeps all turns of one
+conversation in one bucket, so a bucket is a self-contained unit of work
+for every conv-grouped stage.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+
+
+def with_bucket(
+    df: DataFrame, bucket_col: str = "conv_id", n_buckets: int = 32
+) -> DataFrame:
+    return df.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+    )
+
+
+def completed_buckets(
+    spark: SparkSession, out_dir: str, stage: str
+) -> set[int]:
+    path = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.exists(path):
+        return set()
+    m = spark.read.parquet(path)
+    return {
+        r["bucket"]
+        for r in m.where(F.col("stage") == stage)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+
+
+def run_stage_checkpointed(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 32,
+    input_fingerprint: str = "",
+) -> dict:
+    """Execute ``df`` bucket-wise with resume.
+
+    Already-completed buckets (per the manifest) are pruned *before*
+    compute; the remainder is written partitioned by bucket, then the
+    manifest is extended.  Returns a summary dict.
+    """
+    done = completed_buckets(spark, out_dir, stage)
+    bucketed = with_bucket(df, bucket_col, n_buckets)
+    todo = bucketed
+    if done:
+        todo = bucketed.where(~F.col("_bucket").isin(sorted(done)))
+    t0 = time.time()
+    data_path = os.path.join(out_dir, stage)
+    todo.write.partitionBy("_bucket").mode("append").parquet(data_path)
+    wall_ms = int((time.time() - t0) * 1000)
+
+    written = spark.read.parquet(data_path).where(
+        ~F.col("_bucket").isin(sorted(done)) if done else F.lit(True)
+    )
+    stats = (
+        written.groupBy("_bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.countDistinct(bucket_col).alias("n_convs"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_bucket").alias("bucket"),
+            "rows_out",
+            "n_convs",
+            F.lit(wall_ms).alias("wall_ms"),
+            F.lit(input_fingerprint).alias("input_fingerprint"),
+        )
+    )
+    stats.write.mode("append").parquet(os.path.join(out_dir, MANIFEST_DIR))
+    after = completed_buckets(spark, out_dir, stage)
+    return {
+        "stage": stage,
+        "buckets_skipped": len(done),
+        "buckets_completed": len(after),
+        "wall_ms": wall_ms,
+    }
+
+
+def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, stage)).drop("_bucket")

@@ -1,0 +1,52 @@
+"""Structured Streaming surface for per-turn correction.
+
+The reference is strictly batch (SURVEY.md §2.9); the streaming-capable
+subset of the pipeline is everything that needs no cross-turn context:
+correct_easy (stateless Catalyst) + sym_wordcorrect (stateless Arrow
+kernel with a broadcast index).  Cross-turn dehyphenation and the alt-OCR
+alignment need conversation context and stay batch (they would require
+session-window state over conv_id — an explicit non-goal, noted in
+SURVEY.md §2.9).
+
+Usage: ``readStream`` any transcript-shaped source → ``correct_stream``
+→ ``writeStream`` with checkpointing; watermarking on ``ts`` is the
+caller's choice (no windowed aggregation happens here, so late rows are
+simply corrected late)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from memo_fraktur_ocr_code_spark.operators.normalize import correct_easy_col
+from memo_fraktur_ocr_code_spark.operators.wordcorrect import (
+    broadcast_lexicon,
+    sym_wordcorrect,
+)
+from memo_fraktur_ocr_code_spark.functions.textspec import clean_page_lines
+
+
+def correct_stream(
+    spark: SparkSession, stream_df: DataFrame, lexicon_pairs
+) -> DataFrame:
+    """Streaming per-turn correction: clean lines → easy → symspell.
+    Works identically on batch DataFrames (the transforms are all
+    stateless), which is how it is unit-tested."""
+    bc_index, _bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+
+    @F.pandas_udf(StringType())
+    def _clean(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: clean_page_lines(t) if isinstance(t, str) else t
+        )
+
+    df = stream_df.select(
+        "conv_id",
+        "turn_idx",
+        correct_easy_col(_clean(F.col("text"))).alias("text"),
+    )
+    return sym_wordcorrect(df, bc_index).withColumnRenamed(
+        "text", "corrected_text"
+    )

@@ -1,0 +1,80 @@
+"""Checkpoint/resume manifests + Structured Streaming surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+    completed_buckets,
+    read_stage,
+    run_stage_checkpointed,
+)
+from memo_fraktur_ocr_code_spark.sources.fixtures import make_fixture
+from memo_fraktur_ocr_code_spark.streaming.correct_stream import (
+    correct_stream,
+)
+
+
+def test_checkpoint_resume_skips_completed(spark, tmp_path):
+    transcripts, _alt, _lex = make_fixture(n_convs=6)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt")
+    r1 = run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx1"
+    )
+    assert r1["buckets_skipped"] == 0
+    done = completed_buckets(spark, out, "assemble")
+    assert done and len(done) <= 8
+    # resume: everything already done → all buckets skipped, no duplicates
+    r2 = run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx1"
+    )
+    assert r2["buckets_skipped"] == len(done)
+    total = read_stage(spark, out, "assemble").count()
+    assert total == len(transcripts)
+
+
+def test_streaming_correct(spark, tmp_path):
+    transcripts, _alt, lexicon = make_fixture(n_convs=4)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string"
+    ).parquet(src)
+    corrected = correct_stream(spark, stream, lexicon)
+    assert corrected.isStreaming
+    q = (
+        corrected.writeStream.format("memory")
+        .queryName("corrected_turns")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM corrected_turns")
+        assert got.count() == len(transcripts)
+        assert set(got.columns) == {"conv_id", "turn_idx", "corrected_text"}
+        # batch execution of the same transform agrees with streaming
+        batch = correct_stream(
+            spark,
+            spark.read.parquet(src),
+            lexicon,
+        )
+        b = {
+            (r.conv_id, r.turn_idx): r.corrected_text
+            for r in batch.collect()
+        }
+        s = {
+            (r.conv_id, r.turn_idx): r.corrected_text
+            for r in got.collect()
+        }
+        assert b == s
+    finally:
+        q.stop()

@@ -1,0 +1,260 @@
+"""Operator-level Spark tests: annotation, aggregates, dedup, similarity,
+text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.functions.levtools import indel_ratio
+from memo_fraktur_ocr_code_spark.operators import aggregates as agg
+from memo_fraktur_ocr_code_spark.operators.annotate import (
+    add_in_freqlist,
+    add_sentence_idx,
+    annotate_pair_measures,
+    tokens_table,
+)
+from memo_fraktur_ocr_code_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from memo_fraktur_ocr_code_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+)
+from memo_fraktur_ocr_code_spark.operators.similarity import (
+    cosine_topk,
+    srp_lsh_topk,
+)
+from memo_fraktur_ocr_code_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+
+def _turns(spark):
+    rows = [
+        ("c1", 0, "den gamle Mur\nstod fast, ved Aaen"),
+        ("c1", 1, "tyste mand"),
+        ("c2", 0, "en linje"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+
+
+def test_tokens_table_enumeration(spark):
+    out = tokens_table(_turns(spark)).collect()
+    by_key = {
+        (r.conv_id, r.turn_idx, r.word_idx): r for r in out
+    }
+    r = by_key[("c1", 0, 4)]
+    assert (r.line_idx, r.word_on_line, r.token) == (2, 1, "stod")
+    # punctuation split as its own token
+    toks = [r.token for r in out if r.conv_id == "c1" and r.turn_idx == 0]
+    assert "," in toks
+    # conversation-global enumeration is monotone over turns
+    conv_idx = [
+        (r.turn_idx, r.conv_word_idx)
+        for r in sorted(out, key=lambda r: r.conv_word_idx)
+        if r.conv_id == "c1"
+    ]
+    assert conv_idx[-1][0] == 1
+
+
+def test_annotate_pair_measures(spark):
+    df = spark.createDataFrame(
+        [("tyske", "tyste"), ("hus", "hus"), ("a_b", "ab"), (None, "x")],
+        "token string, ocrtok string",
+    )
+    out = {r.token: r for r in annotate_pair_measures(df).collect()}
+    assert out["tyske"].leven == 1
+    assert out["tyske"].levcat == "lev_1"
+    assert out["tyske"].ratio == round(indel_ratio("tyske", "tyste"), 2)
+    assert out["hus"].levcat == "match" and out["hus"].cer == 0.0
+    assert out["a_b"].levcat == "same_chars"
+    assert out[None].leven is None  # NULL propagation, no 'NA' strings
+
+
+def test_add_in_freqlist_and_sentences(spark):
+    toks = tokens_table(_turns(spark))
+    bc = spark.sparkContext.broadcast(frozenset(["den", "mur", "stod"]))
+    flagged = add_in_freqlist(toks, bc)
+    vals = {
+        (r.conv_id, r.turn_idx, r.word_idx): r.infreq
+        for r in flagged.collect()
+    }
+    assert vals[("c1", 0, 1)] == 1  # den
+    assert vals[("c1", 0, 2)] == 0  # gamle
+    sent = add_sentence_idx(
+        toks.withColumn(
+            "sent_word_num",
+            F.when(F.col("word_on_line") == 1, 1).otherwise(2),
+        )
+    )
+    s = {
+        (r.conv_id, r.turn_idx, r.word_idx): r.sent_idx
+        for r in sent.collect()
+    }
+    assert s[("c1", 0, 1)] == 1
+    assert s[("c1", 0, 4)] == 2  # new line → new sentence marker
+
+
+def test_aggregates_freqlist_and_overlay(spark):
+    toks = tokens_table(_turns(spark))
+    fl = agg.unigram_freqlist(toks)
+    rows = fl.collect()
+    assert rows[0].freq >= rows[-1].freq
+    assert "," not in {r.token for r in rows}
+    base = spark.createDataFrame(
+        [("a", 10), ("b", 5)], "token string, freq bigint"
+    )
+    new = spark.createDataFrame(
+        [("b", 99), ("c", 1)], "token string, freq bigint"
+    )
+    merged = {r.token: r.freq for r in agg.dict_overlay(base, new).collect()}
+    assert merged == {"a": 10, "b": 99, "c": 1}
+
+
+def test_augmented_dictionary_scaling(spark):
+    base = spark.createDataFrame(
+        [("a", 100), ("b", 50)], "token string, freq bigint"
+    )
+    corpus = spark.createDataFrame(
+        [("c", 3), ("d", 30000)], "token string, freq bigint"
+    )
+    out = {
+        r.token: r.freq
+        for r in agg.augmented_dictionary(base, corpus, 2, 10000).collect()
+    }
+    # ratio from top-50 sums BEFORE clamping (correct_ocr.py:274-277):
+    # 150/30003; d outside [2,10000] → dropped; c → ceil(3*150/30003) = 1
+    assert out == {"a": 100, "b": 50, "c": 1}
+
+
+def test_confusion_and_prf(spark):
+    df = spark.createDataFrame(
+        [
+            ("x", "y", "x"),   # TruePos
+            ("x", "y", "y"),   # FalseNegMiss
+            ("x", "y", "z"),   # FalseNegWrong
+            ("x", "x", "q"),   # FalsePos
+            ("x", "x", "x"),   # TrueNeg
+        ],
+        "token string, base_ocrtok string, corr_ocrtok string",
+    )
+    cat = agg.confusion_categories(df)
+    counts = {r.finecategory for r in cat.collect()}
+    assert counts == {
+        "TruePos", "FalseNegMiss", "FalseNegWrong", "FalsePos", "TrueNeg"
+    }
+    prf = agg.precision_recall_f1(cat).collect()[0]
+    assert prf.tp == 1 and prf.fp == 1 and prf.fn == 2
+    assert math.isclose(prf.precision, 0.5)
+    assert math.isclose(prf.recall, 1 / 3)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different words entirely here now yes"),
+        (4, "og det var en stor dag i det gamle hus ikke sandt"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r.doc_id: r.n_dups for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2 and 1 not in out
+
+
+def test_ngram_jaccard(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.9).collect()
+    assert ("0-1") == f"{pairs[0].id_a}-{pairs[0].id_b}"
+    assert pairs[0].jaccard == 1.0
+
+
+def test_minhash_lsh_agrees_with_jaccard(spark):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), threshold=0.9, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (0, 1) in got  # exact dup always found
+    assert (0, 3) not in got and (0, 4) not in got
+
+
+def test_simhash_pairs(spark):
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(_docs(spark), max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 0
+    assert (0, 3) not in got
+
+
+def _embs(spark):
+    rows = []
+    for i in range(20):
+        base = [1.0 if d == i % 4 else 0.0 for d in range(8)]
+        rows.append((i, [v + 0.01 * i for v in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_self_nearest(spark):
+    emb = _embs(spark)
+    out = cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+    rows = out.collect()
+    assert rows[0].neighbor_id == 0 and rows[0].rank == 1
+    # next neighbors share the same dominant dimension (id % 4 == 0)
+    assert all(r.neighbor_id % 4 == 0 for r in rows)
+
+
+def test_srp_lsh_subset_of_exact_space(spark):
+    emb = _embs(spark)
+    q = emb.where(F.col("vec_id") == 0)
+    out = srp_lsh_topk(emb, q, dim=8, k=3, bits=4).collect()
+    assert len(out) >= 1
+    assert out[0].neighbor_id == 0  # identical vector shares every bucket
+
+
+def test_textstats(spark):
+    d = spark.createDataFrame(
+        [(0, "the quick fox is here"), (1, "og det var en stor dag i det")],
+        "doc_id bigint, text string",
+    )
+    li = {r.doc_id: r.lang_pred for r in lang_id(d).collect()}
+    assert li[0] == "en" and li[1] == "da"
+    q = {r.doc_id: r for r in quality_score(d).collect()}
+    assert q[0].n_tokens == 5 and q[0].n_digit == 0
+    tc = {r.doc_id: r for r in token_counts(d).collect()}
+    assert tc[0].ws_tokens == 5 and tc[0].bpe_tokens == 5
+    fp = {r.doc_id: r.fp_md5 for r in fingerprint(d).collect()}
+    assert len(fp[0]) == 32 and fp[0] != fp[1]
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"abc"), 2, 2, 0, "raw"),
+            (2, "audio", bytearray(b"xyz"), 0, 0, 2500, "pcm"),
+        ],
+        "media_id bigint, kind string, payload binary, width int, "
+        "height int, duration_ms int, codec string",
+    )
+    feats = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    assert len(feats[1].feat) == 4 and feats[1].note == "stub"
+    # determinism
+    feats2 = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1].feat == feats2[1].feat
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    ts = sorted(r.frame_ts_ms for r in frames if r.media_id == 2)
+    assert ts == [0, 1000, 2000]

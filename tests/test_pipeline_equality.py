@@ -27,13 +27,13 @@ def _to_dfs(spark, transcripts, alt_rows):
     return tdf, adf
 
 
-def _compare(spark, transcripts, alt_rows, lexicon, **flags):
+def _compare(spark, transcripts, alt_rows, lexicon, fused=True, **flags):
     tdf, adf = _to_dfs(spark, transcripts, alt_rows)
     got = {
         (r.conv_id, r.turn_idx): r.corrected_text
         for r in correct_pipeline(
             spark, tdf, adf if flags.get("do_hard", True) else None,
-            lexicon, **flags
+            lexicon, fused=fused, **flags
         ).collect()
     }
     want = {
@@ -55,6 +55,7 @@ def _compare(spark, transcripts, alt_rows, lexicon, **flags):
     assert len(got) == len(transcripts)
 
 
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "staged"])
 @pytest.mark.parametrize(
     "flags",
     [
@@ -64,9 +65,9 @@ def _compare(spark, transcripts, alt_rows, lexicon, **flags):
     ],
     ids=["easy", "easy+sym", "full"],
 )
-def test_pipeline_byte_equality(spark, flags):
+def test_pipeline_byte_equality(spark, flags, fused):
     transcripts, alt_rows, lexicon = make_fixture(n_convs=9)
-    _compare(spark, transcripts, alt_rows, lexicon, **flags)
+    _compare(spark, transcripts, alt_rows, lexicon, fused=fused, **flags)
 
 
 def test_pipeline_row_count_and_schema(spark):

@@ -170,3 +170,72 @@ def word_correct_text(
                 corrected.append(s if s else t)
         out_lines.append(" ".join(corrected))
     return "\n".join(out_lines)
+
+
+# ---------------------------------------------------------------------------
+# J8 — compound lookup (alternative line-level path, correct_ocr.py:308-332)
+# ---------------------------------------------------------------------------
+
+def lookup_compound(term: str, index: SymSpellIndex) -> str:
+    """Compound-aware correction of a whitespace-separated phrase.
+
+    Deterministic re-spec of SymSpell ``lookup_compound`` as used at
+    correct_ocr.py:308-314: per word, keep dictionary words, else try a
+    TOP lookup, else try a binary split into two dictionary words (space
+    re-inserted), else keep the word.  The reference flags this path as
+    brittle and ships it disabled; we keep it surface-complete.
+    """
+    out = []
+    for word in term.split():
+        w = word.lower()
+        if len(word) <= 1 or w in index.words:
+            out.append(word)
+            continue
+        top = index.lookup_top(word)
+        top_d = (
+            osa_distance(w, top, index.max_edit)
+            if top is not None
+            else index.max_edit + 1
+        )
+        if top is not None and top_d <= 1:
+            out.append(transfer_casing(word, top))
+            continue
+        # prefer an exact two-word segmentation over a far-edit suggestion
+        best_split = None
+        for i in range(1, len(w)):
+            a, b = w[:i], w[i:]
+            if a in index.words and b in index.words:
+                score = index.words[a] + index.words[b]
+                if best_split is None or score > best_split[0]:
+                    best_split = (score, f"{a} {b}")
+        if best_split is not None:
+            out.append(best_split[1])
+        elif top is not None and top_d <= index.max_edit:
+            out.append(transfer_casing(word, top))
+        else:
+            out.append(word)
+    return " ".join(out)
+
+
+def line_correct_text(text: str, index: SymSpellIndex) -> str:
+    """Line-level compound correction with punctuation splice-back
+    (correct_ocr.py:316-332 ``spell_corrected`` + :378-383).  The
+    reference's index-error-prone splice is re-specified safely: words are
+    replaced positionally, punctuation and spacing of the original line
+    are preserved."""
+    import re as _re
+
+    word_split = _re.compile(r"[^\W\d_]+|[\w]+", _re.U)
+    out_lines = []
+    for line in text.splitlines():
+        corrected = lookup_compound(line, index)
+        in_list = word_split.findall(line)
+        chk_list = word_split.findall(corrected)
+        new_line = line
+        for orig_w, new_w in zip(in_list, chk_list):
+            if len(orig_w) > 1 and orig_w != new_w:
+                new_line = _re.sub(
+                    rf"\b{_re.escape(orig_w)}\b", new_w, new_line, count=1
+                )
+        out_lines.append(new_line)
+    return "\n".join(out_lines)

@@ -41,23 +41,32 @@ def correct_pipeline(
     do_easy: bool = True,
     do_hard: bool = True,
     do_sym: bool = True,
-    fused: bool = True,
+    fused: bool | str = True,
 ) -> DataFrame:
     """Returns (conv_id, turn_idx, corrected_text), one row per input turn,
     byte-equal to ``oracle.spec.correct_corpus`` under the stable
     (turn_idx, ts) ordering.
 
-    Two physically different plans, same bytes out (both covered by the
+    Three physically different plans, same bytes out (all covered by the
     equality tests):
 
-    * ``fused=True`` (default): ONE cogrouped Arrow kernel per conv does
-      assemble+easy+hard+sym — 2 shuffles total (one per channel), one
-      Python stage, no join.  This is the plan for the 100 TB run.
+    * ``fused=True`` (default): ONE shuffle — both channels union into a
+      hash repartition by conv_id, sorted within partitions, and a single
+      ``mapInPandas`` kernel walks whole partitions carrying the trailing
+      (possibly batch-split) conversation between Arrow batches.  Per-batch
+      kernel overhead instead of per-group — the plan for the 100 TB run.
+    * ``fused='cogroup'``: one cogrouped Arrow kernel per conv (2 shuffles,
+      per-group dispatch).  Simpler; slower on short conversations.
     * ``fused=False``: staged operators (Catalyst regexp chain for easy,
-      separate kernels, equi-join for the alt channel) — more readable,
-      more shuffles; kept for plan inspection and as a cross-check.
+      separate kernels, equi-join for the alt channel) — kept for plan
+      inspection and as a cross-check.
     """
-    if fused:
+    if fused is True:
+        return _correct_pipeline_partition(
+            spark, transcripts, alt_transcripts, lexicon_pairs,
+            do_easy, do_hard, do_sym,
+        )
+    if fused == "cogroup":
         return _correct_pipeline_fused(
             spark, transcripts, alt_transcripts, lexicon_pairs,
             do_easy, do_hard, do_sym,
@@ -141,3 +150,130 @@ def _correct_pipeline_fused(
         .cogroup(alt.groupBy("conv_id"))
         .applyInPandas(kernel, schema=_OUT_SCHEMA)
     )
+
+
+def _correct_pipeline_partition(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alt_transcripts: DataFrame | None,
+    lexicon_pairs,
+    do_easy: bool,
+    do_hard: bool,
+    do_sym: bool,
+) -> DataFrame:
+    """Single-shuffle plan: union both channels, hash-repartition by
+    conv_id, sort within partitions, process whole partitions in one
+    Arrow kernel.
+
+    A conversation can straddle consecutive Arrow batches of the same
+    partition; the kernel carries the trailing conversation's rows to the
+    next batch and flushes at end-of-partition — bounded state (one conv),
+    no correctness compromise.  At 10^12 turns this is the scalable shape:
+    shuffle size = inputs once, kernel overhead amortized over full
+    2k-row batches, no per-group pandas construction.
+    """
+    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    use_alt = do_hard and alt_transcripts is not None
+
+    has_ts = "ts" in transcripts.columns
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text"),
+        F.lit(0).alias("side"),
+        *([F.col("ts")] if has_ts else []),
+    )
+    if use_alt:
+        alt = alt_transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.col("text"),
+            F.lit(1).alias("side"),
+            *([F.lit(None).cast("timestamp").alias("ts")] if has_ts else []),
+        )
+        u = base.unionByName(alt)
+    else:
+        u = base
+    sort_cols = ["conv_id", "side", "turn_idx"] + (["ts"] if has_ts else [])
+    # Explicit partition count: the kernel stage is CPU-bound per row, so
+    # AQE's byte-based partition coalescing (64 MB advisory) would collapse
+    # it to a handful of tasks and serialize the Python work.  An explicit
+    # repartition(n, col) pins reducer parallelism to ~4 waves per core.
+    n_part = spark.sparkContext.defaultParallelism * 4
+    d = u.repartition(n_part, "conv_id").sortWithinPartitions(*sort_cols)
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_out, turn_out, text_out = [], [], []
+        index = bc_index.value if do_sym else None
+        mf = bc_guard.value if use_alt else None
+        memo: dict = {}
+        convs = pdf["conv_id"].to_numpy()
+        sides = pdf["side"].to_numpy()
+        turn_idx = pdf["turn_idx"].to_numpy()
+        texts_in = pdf["text"].tolist()
+        n = len(convs)
+        start = 0
+        while start < n:
+            end = start
+            cid = convs[start]
+            while end < n and convs[end] == cid:
+                end += 1
+            base_ti, base_tx, alt_map = [], [], {}
+            for k in range(start, end):
+                if sides[k] == 0:
+                    base_ti.append(turn_idx[k])
+                    base_tx.append(
+                        texts_in[k] if isinstance(texts_in[k], str) else ""
+                    )
+                else:
+                    alt_map[turn_idx[k]] = texts_in[k]
+            start = end
+            if not base_ti:
+                continue
+            texts = assemble_turns(base_tx)
+            if do_easy:
+                texts = [correct_easy(t) for t in texts]
+            if use_alt:
+                alts = assemble_turns(
+                    [
+                        alt_map.get(ti)
+                        if isinstance(alt_map.get(ti), str)
+                        else ""
+                        for ti in base_ti
+                    ]
+                )
+                texts = [
+                    alt_ocr_correct(t, a, mf) if t else t
+                    for t, a in zip(texts, alts)
+                ]
+            if do_sym:
+                texts = [word_correct_text(t, index, memo) for t in texts]
+            conv_out.extend([cid] * len(base_ti))
+            turn_out.extend(base_ti)
+            text_out.extend(texts)
+        return pd.DataFrame(
+            {
+                "conv_id": conv_out,
+                "turn_idx": pd.array(turn_out, dtype="int32"),
+                "corrected_text": text_out,
+            }
+        )
+
+    def kernel(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            last = pdf["conv_id"].iloc[-1]
+            boundary = (pdf["conv_id"] == last).idxmax()
+            done = pdf.iloc[:boundary]
+            carry = pdf.iloc[boundary:]
+            if len(done):
+                yield process(done)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    return d.mapInPandas(kernel, schema=_OUT_SCHEMA)

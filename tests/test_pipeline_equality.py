@@ -55,7 +55,9 @@ def _compare(spark, transcripts, alt_rows, lexicon, fused=True, **flags):
     assert len(got) == len(transcripts)
 
 
-@pytest.mark.parametrize("fused", [True, False], ids=["fused", "staged"])
+@pytest.mark.parametrize(
+    "fused", [True, "cogroup", False], ids=["partition", "cogroup", "staged"]
+)
 @pytest.mark.parametrize(
     "flags",
     [

@@ -1,0 +1,133 @@
+"""Sinks (S8-S11), CONLL joins (J3), compound lookup (J8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.functions.symspell import (
+    SymSpellIndex,
+    line_correct_text,
+    lookup_compound,
+)
+from memo_fraktur_ocr_code_spark.operators.annotate import tokens_table
+from memo_fraktur_ocr_code_spark.operators.conll import (
+    join_conll_aligned,
+    join_conll_fast,
+)
+from memo_fraktur_ocr_code_spark.sources.sinks import (
+    write_corrected_turns,
+    write_single_line,
+    write_vrt_export,
+    write_year_partitioned,
+)
+
+
+def _turns(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, "den gamle Mur\nstod fast"),
+            ("c1", 1, "ved Aaen"),
+            ("c2", 0, "en linje"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+
+
+def test_write_corrected_turns_bucketed(spark, tmp_path):
+    df = _turns(spark).withColumnRenamed("text", "corrected_text")
+    p = str(tmp_path / "s8")
+    write_corrected_turns(df, p, n_buckets=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    assert "conv_bucket" in back.columns
+    # one conversation lands in exactly one bucket
+    n = (
+        back.groupBy("conv_id")
+        .agg(F.countDistinct("conv_bucket").alias("nb"))
+        .agg(F.max("nb"))
+        .collect()[0][0]
+    )
+    assert n == 1
+
+
+def test_vrt_export(spark, tmp_path):
+    toks = tokens_table(_turns(spark))
+    p = str(tmp_path / "vrt")
+    write_vrt_export(toks, p)
+    lines = [r.value for r in spark.read.text(p).collect()]
+    body = "\n".join(lines)
+    assert '<text id="c1">' in body
+    assert "den\t1\t1\t1\t0\tc1" in body
+    assert body.count("</text>") == 2
+
+
+def test_year_partitioned_write(spark, tmp_path):
+    meta = spark.createDataFrame(
+        [("c1", 1870), ("c2", 1871)], "conv_id string, year int"
+    )
+    p = str(tmp_path / "s10")
+    write_year_partitioned(_turns(spark), meta, p)
+    back = spark.read.parquet(p)
+    assert {r.year for r in back.select("year").distinct().collect()} == {
+        1870,
+        1871,
+    }
+
+
+def test_single_line_sink(spark, tmp_path):
+    df = _turns(spark).withColumnRenamed("text", "corrected_text")
+    p = str(tmp_path / "s11")
+    write_single_line(df, p)
+    back = {
+        (r.conv_id, r.turn_idx): r.single_line
+        for r in spark.read.parquet(p).collect()
+    }
+    assert back[("c1", 0)] == "den gamle Mur \x0b stod fast"
+
+
+def _conll(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, word_idx int, token string, sent_word_num string,"
+        " lemma string, pos string",
+    )
+
+
+def test_join_conll_fast_and_mismatch(spark):
+    toks = tokens_table(_turns(spark)).where(F.col("conv_id") == "c2")
+    conll = _conll(
+        spark,
+        [("c2", 1, "en", "1", "en", "pron"), ("c2", 2, "LINJE", "2", "linje", "sb")],
+    )
+    out = {r.word_idx: r for r in join_conll_fast(toks, conll).collect()}
+    assert out[1].lemma == "en" and out[1].pos == "pron"
+    # token mismatch → annotations dummied, reference rule
+    assert out[2].lemma == "_" and out[2].sent_word_num == "_"
+
+
+def test_join_conll_aligned_drops_and_dummies(spark):
+    toks = tokens_table(_turns(spark)).where(F.col("conv_id") == "c2")
+    # CONLL has an extra leading token (dropped) and matches the rest
+    conll = _conll(
+        spark,
+        [
+            ("c2", 1, "EXTRA", "1", "x", "x"),
+            ("c2", 2, "en", "2", "en", "pron"),
+            ("c2", 3, "linje", "3", "linje", "sb"),
+        ],
+    )
+    out = {
+        r.word_idx: r for r in join_conll_aligned(toks, conll).collect()
+    }
+    assert len(out) == 2  # arity == token table, CONLL-only dropped
+    assert out[1].lemma == "en"
+    assert out[2].pos == "sb"
+
+
+def test_lookup_compound_and_line_correct():
+    idx = SymSpellIndex.from_pairs(
+        [("tyske", 100), ("mand", 50), ("hus", 60), ("et", 70)]
+    )
+    assert lookup_compound("tyste mand", idx) == "tyske mand"
+    assert lookup_compound("ethus", idx) in ("et hus", "ethus")
+    assert line_correct_text("tyste mand, ja!", idx) == "tyske mand, ja!"

@@ -172,7 +172,13 @@ def _repair_nonmatching(aligned_chunks: list) -> list:
 
 def _integrate_junk(merged: list) -> list:
     """Fold chunks with an empty correct side into neighbors with a junk
-    separator (align_ocr.py:251-270)."""
+    separator (align_ocr.py:251-270).
+
+    Spec deviation from the reference: a fully empty chunk ``((), ())``
+    (always produced by SequenceMatcher's zero-size terminator block when
+    the streams end on a match) is a no-op here.  The reference folds it
+    into a ``('',)`` junk tuple and appends a dangling ``◇`` to the last
+    aligned token of every such page — a bug we do not reproduce."""
     out = []
     junk: tuple = ()
     for tup in merged:
@@ -183,7 +189,7 @@ def _integrate_junk(merged: list) -> list:
                 tup = (tup[0], (first,) + orig[1:])
                 junk = ()
             out.append(tup)
-        else:
+        elif tup[1] or junk:
             junk = (JUNK_SEP.join(junk + tup[1]),)
     if junk:
         c, orig = out[-1]
@@ -247,8 +253,12 @@ def _correct_chunk(
     frak_toks = tuple(x[0] for x in chunk)
     alt_toks = tuple(x[1] for x in chunk)
     chunk_str = " ".join(frak_toks)
+    alt_str = " ".join(alt_toks)
     corr: dict[str, str] = {}
     for fchar, achar in replacements:
+        # chunk-level bail: a pair can only fire if both chars occur
+        if fchar not in chunk_str or achar not in alt_str:
+            continue
         for f, a in zip(frak_toks, alt_toks):
             if _good_pair(f, a, fchar, achar, most_frequent):
                 k, v = _correction_pair(f, a, fchar, achar)

@@ -82,3 +82,34 @@ def test_pipeline_row_count_and_schema(spark):
         "corrected_text",
     ]
     assert out.count() == len(transcripts)
+
+
+def test_pipeline_handles_pathological_skew(spark):
+    """One conversation 100× longer than the rest (power-law skew): the
+    partition-walk kernel must carry it across many Arrow batches and
+    still byte-equal the oracle."""
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
+    giant = [
+        {
+            "conv_id": "giant",
+            "turn_idx": t,
+            "role": "user",
+            "text": f"tyste mand paa gœrden linje {t}\nog sœ en til-",
+            "tool": None,
+            "ts": transcripts[0]["ts"],
+        }
+        for t in range(800)
+    ]
+    alt_giant = [
+        {"conv_id": "giant", "turn_idx": t, "text": f"tyske mand paa garden linje {t}\nog sa en til-"}
+        for t in range(800)
+    ]
+    _compare(
+        spark,
+        transcripts + giant,
+        alt_rows + alt_giant,
+        lexicon,
+        do_easy=True,
+        do_hard=True,
+        do_sym=True,
+    )

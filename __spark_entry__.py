@@ -894,6 +894,72 @@ ORDER BY inter DESC, id_a, id_b LIMIT 100
 """
 
 
+def _q_a1_salted(spark, sf_dir):
+    """Same result as a1 via the two-phase salted aggregation (skew
+    technique, SURVEY §4.3) — verified against the identical SQL."""
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        salted_unigram_freqlist,
+    )
+
+    return salted_unigram_freqlist(_doc_tokens(spark, sf_dir)).limit(200)
+
+
+def _q_f5_json_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_F5 = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    return embedding_cosine_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    ).select("id_a", "id_b", "cosine")
+
+
+_SQL_DEDUP_EMB = """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(
+           list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]),
+                                 (x, y) -> x + y))), 6) AS cosine
+  FROM v a, v b WHERE a.id < b.id)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.35 ORDER BY id_a, id_b
+"""
+
+
 def _q_sim_ann_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1184,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_cross_chunk_hyphen": _q_w3_cross_chunk_hyphen,
         # §2.5 aggregations
         "a1_unigram_freq": _q_a1_unigram,
+        "a1_salted_unigram_freq": _q_a1_salted,
         "a2_bigram_freq": _q_a2_bigram,
         "a4_freq_breakdown": _q_a4_breakdown,
         "a5_quality_rollup": _q_a5_rollup,
@@ -1196,9 +1263,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_dict_overlay": _q_u1_dict_overlay,
         "o2_topk_per_group": _q_o2_topk_per_group,
         "q1_lineitem_agg": _q_q1_lineitem_agg,
+        "f5_json_props": _q_f5_json_props,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "sim_ann_cosine": _q_sim_ann_cosine,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1226,6 +1295,9 @@ def oracle_sql() -> dict[str, str]:
         "w2_sessionize": _SQL_W2,
         "w3_cross_chunk_hyphen": _SQL_W3,
         "a1_unigram_freq": _SQL_A1,
+        "a1_salted_unigram_freq": _SQL_A1,
+        "f5_json_props": _SQL_F5,
+        "dedup_embedding_cosine": _SQL_DEDUP_EMB,
         "a2_bigram_freq": _SQL_A2,
         "a4_freq_breakdown": _SQL_A4,
         "a5_quality_rollup": _SQL_A5,

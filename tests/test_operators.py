@@ -258,3 +258,30 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     ts = sorted(r.frame_ts_ms for r in frames if r.media_id == 2)
     assert ts == [0, 1000, 2000]
+
+
+def test_embedding_cosine_dups_exact_and_lsh(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(emb, threshold=0.95).collect()
+    }
+    assert exact == {(0, 1)}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(
+            emb, threshold=0.95, dim=4, bits=2
+        ).collect()
+    }
+    # LSH candidates are a subset; identical-direction vectors share buckets
+    assert lsh <= exact and (0, 1) in lsh

@@ -118,8 +118,11 @@ def fix_hyphens(stringlist: list[str]) -> list[str]:
     Same contract as myutils/__init__.py:190-200: strings are joined on a
     pilcrow sentinel, `word-\\n nextword` sequences across boundaries are
     merged into the left string, and the list is split back.  Existing
-    pilcrows are escaped/restored.
+    pilcrows are escaped/restored.  Empty input → empty output (the
+    reference never sees this case; ''.split('¶') would yield ['']).
     """
+    if not stringlist:
+        return []
     escaped = [s.replace("¶", PILCROW_ESCAPE) for s in stringlist]
     joined = "¶".join(escaped)
     dehyphenated = _DEHYPH_RE.sub(r"\1\2¶", joined)
@@ -158,6 +161,8 @@ def assemble_turns(texts: list[str]) -> list[str]:
     string exists only transiently inside this kernel and is split back to
     turns, which is our per-turn spec.
     """
+    if not texts:
+        return []
     cleaned = [clean_page_lines(t if t is not None else "") for t in texts]
     cleaned = fix_hyphens(cleaned)
     joined = f" {PAGEBREAK} ".join(cleaned)

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the spec kernels.
+
+These pin the invariants the distributed plans rely on: alignment arity,
+tokenizer determinism, hyphen-merge length preservation, metric bounds.
+No Spark here — pure kernels, fast."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from memo_fraktur_ocr_code_spark.functions.alignment import (
+    align_b_to_a,
+    token_align,
+)
+from memo_fraktur_ocr_code_spark.functions.levtools import (
+    indel_distance,
+    indel_ratio,
+    levenshtein,
+    osa_distance,
+)
+from memo_fraktur_ocr_code_spark.functions.textspec import (
+    assemble_turns,
+    correct_easy,
+    fix_hyphens,
+    tokenize,
+)
+
+# Danish-ish alphabet incl. the confusion chars the pipeline handles.
+_ALPHA = "abcdefghijklmnopqrstuvwxyzæøåſœ ABC.,!?-\n"
+texts = st.text(alphabet=_ALPHA, max_size=80)
+words = st.text(
+    alphabet="abcdefghijkæøå", min_size=0, max_size=8
+)
+token_tuples = st.lists(words.filter(bool), max_size=12).map(tuple)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_tokenize_deterministic_and_whitespace_free(s):
+    toks = tokenize(s)
+    assert toks == tokenize(s)
+    assert all(t and not t.isspace() for t in toks)
+    # idempotence of the reassembled form
+    assert tokenize(" ".join(toks)) == toks
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_correct_easy_idempotent_and_removes_targets(s):
+    out = correct_easy(s)
+    assert "œ" not in out and "ſ" not in out
+    assert correct_easy(out) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(texts, max_size=6))
+def test_fix_hyphens_preserves_arity(lst):
+    out = fix_hyphens(lst)
+    assert len(out) == len(lst)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=5))
+def test_assemble_turns_preserves_arity(lst):
+    out = assemble_turns(lst)
+    assert len(out) == len(lst)
+
+
+@settings(max_examples=150, deadline=None)
+@given(token_tuples, token_tuples)
+def test_align_b_to_a_arity(a, b):
+    if not a:
+        assert align_b_to_a(a, b) == ()
+    else:
+        assert len(align_b_to_a(a, b)) == len(a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(token_tuples, token_tuples)
+def test_token_align_arity(corr, orig):
+    c, o = token_align(corr, orig)
+    if corr and orig:
+        # the invariant the alignment pipeline relies on (the caller,
+        # repair_nonmatching, substitutes (sep,) for an empty orig)
+        assert len(c) == len(corr) == len(o)
+    else:
+        # reference contract for an empty side (align_ocr.py:199-207):
+        # the other side is folded into at most one joined slot
+        assert len(c) <= 1 and len(o) <= 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(words, words)
+def test_metric_properties(a, b):
+    lev = levenshtein(a, b)
+    osa = osa_distance(a, b)
+    ind = indel_distance(a, b)
+    # symmetry
+    assert lev == levenshtein(b, a)
+    assert ind == indel_distance(b, a)
+    # identity
+    assert (lev == 0) == (a == b)
+    # bounds: osa <= lev <= indel <= len(a)+len(b)
+    assert osa <= lev <= ind <= len(a) + len(b)
+    # ratio in [0, 1]
+    r = indel_ratio(a, b)
+    assert 0.0 <= r <= 1.0
+    assert (r == 1.0) == (a == b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words, words, st.integers(min_value=0, max_value=3))
+def test_osa_cutoff_consistent(a, b, cap):
+    full = osa_distance(a, b)
+    capped = osa_distance(a, b, cap)
+    if full <= cap:
+        assert capped == full
+    else:
+        assert capped == cap + 1

@@ -217,6 +217,7 @@ def main():
         spark.stop()
     out["queries"] = times
     out["value"] = round(sum(times.values()), 3)
+    out["exact_match_rate"] = _exact_match_rate()
     if scaling:
         lo, hi = SCALING_CORES
         out["turns_per_sec_lowcores"] = scaling[lo]["turns_per_sec"]
@@ -224,6 +225,39 @@ def main():
         out["scaling_efficiency"] = scaling["scaling_efficiency"]
         _write_bench_md(out)
     print(json.dumps(out))
+
+
+def _exact_match_rate() -> float:
+    """North metric evidence: per-turn corrected text byte-equal between
+    the Spark pipeline and the single-node oracle on the synthetic
+    fixture (the same contract tests/test_pipeline_equality.py enforces)."""
+    from memo_fraktur_ocr_code_spark.oracle.spec import correct_corpus
+    from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+    from memo_fraktur_ocr_code_spark.sources.fixtures import make_fixture
+
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=8)
+    spark = _spark("local[8]")
+    try:
+        tdf = spark.createDataFrame(
+            transcripts,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        adf = spark.createDataFrame(
+            alt_rows, "conv_id string, turn_idx int, text string"
+        )
+        got = {
+            (r.conv_id, r.turn_idx): r.corrected_text
+            for r in correct_pipeline(spark, tdf, adf, lexicon).collect()
+        }
+    finally:
+        spark.stop()
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["corrected_text"]
+        for r in correct_corpus(transcripts, alt_rows, lexicon)
+    }
+    matches = sum(1 for k in want if got.get(k) == want[k])
+    return round(matches / len(want), 6)
 
 
 def _write_bench_md(out: dict) -> None:
@@ -268,6 +302,22 @@ def _write_bench_md(out: dict) -> None:
     lines.append("")
     lines.append(f"Total: {out['value']} sec.")
     lines.append("")
+    lines.extend(
+        [
+            "## vs the reference's published numbers (BASELINE.md)",
+            "",
+            "* per-turn corrected-text exact-match rate vs the single-node"
+            f" oracle: **{out.get('exact_match_rate', 'n/a')}** (target:"
+            " 1.0, byte-equal under stable (turn_idx, ts) ordering).",
+            "* reference single-node throughput is 14-25 OCR pages/min on"
+            " a 64-core VM (README.md:471-477; dominated by Tesseract)."
+            " The comparable post-correction stages here process"
+            f" {out['turns_per_sec_highcores']} turns/sec at"
+            f" {SCALING_CORES[1]} cores — the correction pipeline is not"
+            " the bottleneck at any scale the reference reaches.",
+            "",
+        ]
+    )
     with open(os.path.join(os.path.dirname(__file__), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 

@@ -202,6 +202,11 @@ def align_b_to_a(a: tuple, b: tuple) -> tuple:
     (align_ocr.py:72-89)."""
     if not a:
         return ()
+    if a == b:
+        # identity fast path: alignment of equal streams is the stream
+        # itself (all-match chunks, junk-fold no-ops) — skips the
+        # SequenceMatcher DP, the hot case for mostly-agreeing channels
+        return tuple(b)
     spans = get_align_indexes(a, b)
     chunks = [(a[ai:aj], b[bi:bj]) for ai, aj, bi, bj, _m in spans]
     bad = _get_bad_seq_indexes(chunks, mismatch=8)

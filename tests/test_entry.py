@@ -31,3 +31,21 @@ def test_sample_query_runs(spark):
     df = qs["a1_unigram_freq"](spark, "/root/testdata/sf0.001")
     rows = df.collect()
     assert rows and rows[0]["freq"] >= rows[-1]["freq"]
+
+
+def test_sql_surface(spark):
+    """The engine is usable through plain spark.sql over registered
+    views — the declarative surface Catalyst optimizes end to end."""
+    sf = "/root/testdata/sf0.001"
+    for t in ("lineitem", "orders"):
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+    out = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    ).collect()
+    assert len(out) == 3 and all(r.n > 0 for r in out)

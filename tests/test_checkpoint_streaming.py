@@ -123,3 +123,64 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     )
     assert sum(r.n_turns for r in batch_agg) == 10
     assert len(batch_agg) == 3  # 30 minutes of turns → three 10-min windows
+
+
+def test_stateful_assembly_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: turns of one conversation arriving in two
+    micro-batches must converge to the same per-turn corrected text as the
+    batch oracle on the full conversation — including a hyphen donation
+    across the micro-batch boundary."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from memo_fraktur_ocr_code_spark.oracle.spec import correct_conversation
+    from memo_fraktur_ocr_code_spark.functions.symspell import SymSpellIndex
+    from memo_fraktur_ocr_code_spark.streaming.stateful_assembly import (
+        stateful_assemble_correct,
+    )
+
+    lexicon = [("tyske", 100), ("mand", 80), ("gamle", 60), ("muren", 50)]
+    src = str(tmp_path / "state_src")
+    schema = "conv_id string, turn_idx int, text string"
+    # batch 1: turn 0 ends hyphenated — donation target arrives later
+    spark.createDataFrame(
+        [("c1", 0, "tyste mand ved mu-")], schema
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_assemble_correct(spark, stream, lexicon)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_corr")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: the continuation turn
+        spark.createDataFrame(
+            [("c1", 1, "ren stod gamle")], schema
+        ).write.mode("append").parquet(src)
+        time.sleep(0.2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM stateful_corr").collect()
+    finally:
+        q.stop()
+    latest_version = max(r.version for r in rows)
+    got = {
+        r.turn_idx: r.corrected_text
+        for r in rows
+        if r.version == latest_version
+    }
+    idx = SymSpellIndex.from_pairs(lexicon)
+    want = correct_conversation(
+        ["tyste mand ved mu-", "ren stod gamle"],
+        None,
+        idx,
+        frozenset(),
+        do_hard=False,
+    )
+    assert got == {0: want[0], 1: want[1]}
+    # the cross-micro-batch hyphen donation happened
+    assert "muren" in got[0]

@@ -76,18 +76,40 @@ def run_stage_checkpointed(
     written = spark.read.parquet(data_path).where(
         ~F.col("_bucket").isin(sorted(done)) if done else F.lit(True)
     )
+    # per-bucket metrics: lineage + throughput, plus CER when the stage
+    # carries one (north rule: per-partition lineage + CER/throughput)
+    metric_aggs = [
+        F.count("*").alias("rows_out"),
+        F.countDistinct(bucket_col).alias("n_convs"),
+    ]
+    has_cer = "cer" in written.columns
+    if has_cer:
+        metric_aggs.append(
+            F.sum((F.col("cer") * 100).cast("bigint")).alias("cer_cp_sum")
+        )
+    text_col = next(
+        (c for c in ("corrected_text", "text") if c in written.columns),
+        None,
+    )
+    if text_col:
+        metric_aggs.append(F.sum(F.length(text_col)).alias("chars_out"))
     stats = (
         written.groupBy("_bucket")
-        .agg(
-            F.count("*").alias("rows_out"),
-            F.countDistinct(bucket_col).alias("n_convs"),
-        )
+        .agg(*metric_aggs)
         .select(
             F.lit(stage).alias("stage"),
             F.col("_bucket").alias("bucket"),
             "rows_out",
             "n_convs",
+            (F.col("cer_cp_sum") / F.col("rows_out") / 100).alias("cer_avg")
+            if has_cer
+            else F.lit(None).cast("double").alias("cer_avg"),
+            F.col("chars_out")
+            if text_col
+            else F.lit(None).cast("bigint").alias("chars_out"),
             F.lit(wall_ms).alias("wall_ms"),
+            (F.col("rows_out") * 1000.0 / F.greatest(F.lit(wall_ms), F.lit(1)))
+            .alias("rows_per_sec"),
             F.lit(input_fingerprint).alias("input_fingerprint"),
         )
     )

@@ -131,3 +131,38 @@ def test_lookup_compound_and_line_correct():
     assert lookup_compound("tyste mand", idx) == "tyske mand"
     assert lookup_compound("ethus", idx) in ("et hus", "ethus")
     assert line_correct_text("tyste mand, ja!", idx) == "tyske mand, ja!"
+
+
+def test_readers(spark, tmp_path):
+    from memo_fraktur_ocr_code_spark.sources.readers import (
+        read_conll,
+        read_freq_dictionary,
+        read_metadata_tsv,
+    )
+
+    fd = tmp_path / "freq.txt"
+    fd.write_text("﻿den 100\ngamle 50\n")
+    lex = read_freq_dictionary(spark, str(fd)).collect()
+    assert [(r.token, r.freq) for r in lex] == [("den", 100), ("gamle", 50)]
+
+    md = tmp_path / "meta.tsv"
+    md.write_text(
+        "conv_id\tnovel_start\tnovelstart_rescan\tnovel_end\tyear\n"
+        "c1\t3\t\t\t1870\n"
+        "c2\t2\t5\t120\t1871\n"
+    )
+    meta = {r.conv_id: r for r in read_metadata_tsv(spark, str(md)).collect()}
+    assert meta["c1"].realstart == 3 and meta["c1"].novel_end == 1000000
+    assert meta["c2"].realstart == 5 and meta["c2"].novel_end == 120
+
+    cf = tmp_path / "x.conll"
+    cf.write_text(
+        "1\tden\tden\tden\tpron\tx\t_\t_\t_\t_\t_\t_\t_\t_\n"
+        "\n"
+        "2\tUge\tUge\tUge\tsb\tx\t_\t_\t_\t_\t_\t_\t_\t_\n"
+    )
+    con = read_conll(spark, str(cf)).orderBy("sent_word_num").collect()
+    assert [(r.sent_word_num, r.token, r.lemma, r.pos) for r in con] == [
+        (1, "den", "den", "pron"),
+        (2, "Uge", "Uge", "sb"),
+    ]

@@ -894,6 +894,96 @@ ORDER BY inter DESC, id_a, id_b LIMIT 100
 """
 
 
+def _q_e9_strip_gold_markers(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = F.regexp_replace(F.col("text"), " the ", " the[- ] ")
+    stripped = F.regexp_replace(planted, r"\[[ -]+\]", "")
+    return d.select("doc_id", stripped.alias("clean_gold"))
+
+
+_SQL_E9 = """
+SELECT doc_id,
+       regexp_replace(replace(text, ' the ', ' the[- ] '),
+                      '\\[[ -]+\\]', '', 'g') AS clean_gold
+FROM documents
+"""
+
+
+def _q_f7_final_token_trim(spark, sf_dir):
+    """F7 — drop the last token of each document (run_eval_pipeline.py:79-84
+    trims the bogus final mega-token) via a reverse row_number window."""
+    toks = _q_w1_token_enum(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("line_idx"), F.desc("word_on_line")
+    )
+    return (
+        toks.withColumn("rev", F.row_number().over(w))
+        .where(F.col("rev") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens_kept"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_F7 = f"""
+WITH t AS ({{w1}}),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY line_idx DESC, word_on_line DESC)
+           AS rev
+  FROM t)
+SELECT doc_id, count(*) AS n_tokens_kept
+FROM r WHERE rev > 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_w4_chunk_key(spark, sf_dir):
+    """W4 — 250-token chunk keys (myutils chunk_list semantics): rows per
+    (doc, chunk) with chunk = floor((word_idx-1)/250)."""
+    toks = _q_w1_token_enum(spark, sf_dir)
+    return (
+        toks.select(
+            "doc_id",
+            F.floor((F.col("word_idx") - 1) / 250).alias("chunk_id"),
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_SQL_W4 = """
+WITH t AS ({w1})
+SELECT doc_id, CAST(floor((word_idx - 1) / 250) AS BIGINT) AS chunk_id,
+       count(*) AS n
+FROM t GROUP BY 1, 2 ORDER BY doc_id, chunk_id
+"""
+
+
+def _q_u3_conditional_add(spark, sf_dir):
+    """U3 — add tokens from the odd half only if absent from the even half
+    (README.md:245-252 ODS recipe): left-anti join + union."""
+    base = _freq_by_half(spark, sf_dir, even=True)
+    extra = _freq_by_half(spark, sf_dir, even=False)
+    added = extra.join(base.select("token"), "token", "left_anti")
+    return base.unionByName(added).orderBy(F.desc("freq"), "token")
+
+
+_SQL_U3 = f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+base AS (SELECT token, count(*) AS freq FROM toks
+         WHERE doc_id % 2 = 0 GROUP BY token),
+extra AS (SELECT token, count(*) AS freq FROM toks
+          WHERE doc_id % 2 = 1 GROUP BY token)
+SELECT token, freq FROM base
+UNION ALL
+SELECT token, freq FROM extra
+WHERE token NOT IN (SELECT token FROM base)
+ORDER BY freq DESC, token
+"""
+
+
 def _q_a1_salted(spark, sf_dir):
     """Same result as a1 via the two-phase salted aggregation (skew
     technique, SURVEY §4.3) — verified against the identical SQL."""
@@ -1241,13 +1331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_levenshtein": _q_e6_levenshtein,
         "e7_difftype": _q_e7_difftype,
         "e10_e11_render": _q_e10_e11_render,
+        "e9_strip_gold_markers": _q_e9_strip_gold_markers,
         # §2.2 filters
         "f2_date_filter": _q_f2_date_filter,
         "f3_clean_lines": _q_f3_clean_lines,
+        "f7_final_token_trim": _q_f7_final_token_trim,
         # §2.6 windows / sequences
         "w1_token_enum": _q_w1_token_enum,
         "w2_sessionize": _q_w2_sessionize,
         "w3_cross_chunk_hyphen": _q_w3_cross_chunk_hyphen,
+        "w4_chunk_key": _q_w4_chunk_key,
         # §2.5 aggregations
         "a1_unigram_freq": _q_a1_unigram,
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -1261,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_q3_top_orders": _q_q3_top_orders,
         "j5_infreq_semijoin": _q_j5_infreq,
         "u1_dict_overlay": _q_u1_dict_overlay,
+        "u3_conditional_add": _q_u3_conditional_add,
         "o2_topk_per_group": _q_o2_topk_per_group,
         "q1_lineitem_agg": _q_q1_lineitem_agg,
         "f5_json_props": _q_f5_json_props,
@@ -1298,6 +1392,10 @@ def oracle_sql() -> dict[str, str]:
         "a1_salted_unigram_freq": _SQL_A1,
         "f5_json_props": _SQL_F5,
         "dedup_embedding_cosine": _SQL_DEDUP_EMB,
+        "e9_strip_gold_markers": _SQL_E9,
+        "f7_final_token_trim": _SQL_F7.format(w1=_SQL_W1),
+        "w4_chunk_key": _SQL_W4.format(w1=_SQL_W1),
+        "u3_conditional_add": _SQL_U3,
         "a2_bigram_freq": _SQL_A2,
         "a4_freq_breakdown": _SQL_A4,
         "a5_quality_rollup": _SQL_A5,

@@ -149,16 +149,23 @@ def _scaling_run(n: int, lexicon) -> dict:
     try:
         # warm the JVM / Python-worker / Arrow path
         _run_pipeline_count(spark, lexicon, sample_mod=50)
-        t0 = time.time()
-        turns = _run_pipeline_count(
-            spark, lexicon, sample_mod=SCALING_SAMPLE_MOD
-        )
-        dt = time.time() - t0
+        # best-of-2: this box is a shared VM with ±20-30% noise from
+        # co-tenants; the fastest run is the least-interfered estimate
+        best = None
+        turns = 0
+        for _ in range(2):
+            t0 = time.time()
+            turns = _run_pipeline_count(
+                spark, lexicon, sample_mod=SCALING_SAMPLE_MOD
+            )
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
         return {
             "cores": n,
             "turns": turns,
-            "sec": round(dt, 3),
-            "turns_per_sec": round(turns / dt, 1),
+            "sec": round(best, 3),
+            "turns_per_sec": round(turns / best, 1),
         }
     finally:
         spark.stop()

@@ -110,3 +110,24 @@ def write_single_line(df: DataFrame, path: str, text_col: str = "corrected_text"
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_texton_lines(tokens: DataFrame, path: str) -> None:
+    """Text-Tonsorium export (vrt2texton_tokens.py): each conversation's
+    tokens as one space-joined line, one row per conversation — grouped
+    concat, distributed write."""
+    (
+        tokens.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("turn_idx", "word_idx", "token")
+                    )
+                ).getField("token"),
+            ).alias("token_line")
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -166,3 +166,14 @@ def test_readers(spark, tmp_path):
         (1, "den", "den", "pron"),
         (2, "Uge", "Uge", "sb"),
     ]
+
+
+def test_texton_lines_export(spark, tmp_path):
+    from memo_fraktur_ocr_code_spark.sources.sinks import write_texton_lines
+
+    toks = tokens_table(_turns(spark))
+    p = str(tmp_path / "texton")
+    write_texton_lines(toks, p)
+    out = {r.conv_id: r.token_line for r in spark.read.parquet(p).collect()}
+    assert out["c2"] == "en linje"
+    assert out["c1"].startswith("den gamle Mur stod fast")

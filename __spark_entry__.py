@@ -1271,6 +1271,77 @@ FROM toks GROUP BY 1 ORDER BY initial
 # --- rows-only (non-SQL-expressible) operators ------------------------------
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: for each purchase event, the latest click at or before
+    it per user (operators/asof.py union+window implementation; DuckDB
+    checks it with its native ASOF JOIN)."""
+    from memo_fraktur_ocr_code_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_click_id").alias("click_id")
+    ).orderBy("event_id")
+
+
+_SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, c.click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+def _q_range_join(spark, sf_dir):
+    """Bin-bucketed range join: clicks inside the 30 minutes before each
+    purchase, per user (DuckDB checks with a plain inequality join)."""
+    from memo_fraktur_ocr_code_spark.operators.asof import range_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = range_join_binned(
+        clicks, purchases, key="user_id", point_ts="ts",
+        start_col="win_start", end_col="win_end", bin_seconds=900,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+_SQL_RANGE = """
+WITH p AS (SELECT event_id AS purchase_id, user_id,
+                  ts - INTERVAL 30 MINUTE AS win_start, ts AS win_end
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT purchase_id, count(*) AS n_clicks
+FROM c JOIN p ON c.user_id = p.user_id
+              AND c.ts >= p.win_start AND c.ts <= p.win_end
+GROUP BY purchase_id ORDER BY purchase_id
+"""
+
+
 def _q_pipeline_correct_turns(spark, sf_dir):
     return _run_pipeline(spark, sf_dir)
 
@@ -1353,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.3 joins / §2.8 set ops / §2.7 sorts
         "j4_q3_top_orders": _q_q3_top_orders,
         "j5_infreq_semijoin": _q_j5_infreq,
+        "asof_join_events": _q_asof_join,
+        "range_join_events": _q_range_join,
         "u1_dict_overlay": _q_u1_dict_overlay,
         "u3_conditional_add": _q_u3_conditional_add,
         "o2_topk_per_group": _q_o2_topk_per_group,
@@ -1404,6 +1477,8 @@ def oracle_sql() -> dict[str, str]:
         "a10_augmented_dict": _SQL_A10,
         "j4_q3_top_orders": _SQL_Q3,
         "j5_infreq_semijoin": _SQL_J5,
+        "asof_join_events": _SQL_ASOF,
+        "range_join_events": _SQL_RANGE,
         "u1_dict_overlay": _SQL_U1,
         "o2_topk_per_group": _SQL_O2,
         "q1_lineitem_agg": _SQL_Q1,

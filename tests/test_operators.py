@@ -285,3 +285,59 @@ def test_embedding_cosine_dups_exact_and_lsh(spark):
     }
     # LSH candidates are a subset; identical-direction vectors share buckets
     assert lsh <= exact and (0, 1) in lsh
+
+
+def test_asof_join(spark):
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, "u1", ts(10)), (2, "u1", ts(30)), (3, "u2", ts(5))],
+        "event_id bigint, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", ts(8), 100), ("u1", ts(30), 200), ("u2", ts(9), 300)],
+        "user_id string, ts timestamp, click_id bigint",
+    )
+    out = {
+        r.event_id: r.asof_click_id
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["click_id"]
+        ).collect()
+    }
+    assert out[1] == 100       # latest click before ts(10) is ts(8)
+    assert out[2] == 200       # exactly-equal timestamp matches (<=)
+    assert out[3] is None      # u2 has no click before ts(5)
+
+
+def test_range_join_binned(spark):
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.operators.asof import range_join_binned
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    points = spark.createDataFrame(
+        [("u1", ts(5), 1), ("u1", ts(65), 2), ("u1", ts(200), 3)],
+        "user_id string, ts timestamp, click_id bigint",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", ts(0), ts(70), 10)],
+        "user_id string, win_start timestamp, win_end timestamp,"
+        " interval_id bigint",
+    )
+    out = range_join_binned(
+        points, intervals, "user_id", "ts", "win_start", "win_end",
+        bin_seconds=600,
+    ).collect()
+    got = {r.click_id for r in out}
+    assert got == {1, 2}  # interval spans multiple bins; outside excluded

@@ -155,3 +155,27 @@ def match_rate(pairs_annotated: DataFrame) -> float:
         ).alias("rate")
     ).collect()[0]
     return float(row["rate"])
+
+
+def word_error_rate(pairs_annotated: DataFrame) -> float:
+    """WER over aligned token buckets: share of gold tokens whose aligned
+    OCR bucket differs (substitutions, splits and junk-folds all count —
+    insertions/deletions are absorbed into buckets by align_b_to_a)."""
+    row = pairs_annotated.select(
+        (
+            F.sum(F.when(F.col("levcat") != "match", 1).otherwise(0))
+            / F.count("*")
+        ).alias("wer")
+    ).collect()[0]
+    return float(row["wer"])
+
+
+def corpus_cer(pairs_annotated: DataFrame) -> float:
+    """Corpus-level CER: total character edits over total gold chars
+    (exact integer sums, one final division)."""
+    row = pairs_annotated.select(
+        (
+            F.sum("leven") / F.sum(F.length("token"))
+        ).alias("cer")
+    ).collect()[0]
+    return float(row["cer"])

@@ -100,3 +100,19 @@ def test_match_rate_helper(spark):
         "token string, ocrtok string",
     )
     assert match_rate(annotate_pair_measures(pairs)) == 0.75
+
+
+def test_wer_and_corpus_cer(spark):
+    from memo_fraktur_ocr_code_spark.plans.evaluate import (
+        corpus_cer,
+        word_error_rate,
+    )
+
+    pairs = spark.createDataFrame(
+        [("abcd", "abcd"), ("abcd", "abcx"), ("ab", "ab"), ("ab", "ba")],
+        "token string, ocrtok string",
+    )
+    ann = annotate_pair_measures(pairs)
+    assert word_error_rate(ann) == 0.5
+    # 1 edit on 'abcd'→'abcx' + 2 on 'ab'→'ba' over 12 gold chars
+    assert corpus_cer(ann) == 3 / 12

@@ -184,3 +184,46 @@ def test_stateful_assembly_across_microbatches(spark, tmp_path):
     assert got == {0: want[0], 1: want[1]}
     # the cross-micro-batch hyphen donation happened
     assert "muren" in got[0]
+
+
+def test_checkpoint_partial_resume_no_duplicates(spark, tmp_path):
+    """Simulated mid-stage failure: a manifest acknowledging only some
+    buckets must cause exactly the missing buckets to recompute, with no
+    duplicated rows for completed ones."""
+    from pyspark.sql import functions as F
+
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+        run_stage_checkpointed,
+        with_bucket,
+    )
+
+    transcripts, _alt, _lex = make_fixture(n_convs=6)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "partial")
+    bucketed = with_bucket(df, n_buckets=8)
+    all_buckets = sorted(
+        r["_bucket"]
+        for r in bucketed.select("_bucket").distinct().collect()
+    )
+    half = all_buckets[: len(all_buckets) // 2]
+    # a previous run that only saw (and completed) half the buckets
+    partial_input = df.join(
+        bucketed.where(F.col("_bucket").isin(half))
+        .select("conv_id")
+        .distinct(),
+        "conv_id",
+    )
+    first = run_stage_checkpointed(
+        spark, partial_input, out, "stage1", n_buckets=8
+    )
+    assert first["buckets_completed"] == len(half)
+
+    summary = run_stage_checkpointed(
+        spark, df, out, "stage1", n_buckets=8
+    )
+    assert summary["buckets_skipped"] == len(half)
+    total = spark.read.parquet(f"{out}/stage1").count()
+    assert total == len(transcripts)  # complete, no duplicates

@@ -40,11 +40,16 @@ DEFAULT_PREFIX_LEN = 7
 
 
 def _deletes(word: str, max_edit: int, out: set[str]) -> set[str]:
+    """All delete variants up to ``max_edit`` — INCLUDING the empty string
+    (unlike symspellpy, which stops at length 1 and therefore misses
+    substitution-only pairs of very short words like 'aa'→'bb' at
+    distance 2; our spec is complete within the edit radius, verified by
+    a brute-force property test)."""
     frontier = {word}
     for _ in range(max_edit):
         nxt = set()
         for w in frontier:
-            if len(w) <= 1:
+            if not w:
                 continue
             for i in range(len(w)):
                 d = w[:i] + w[i + 1 :]

@@ -118,3 +118,35 @@ def test_osa_cutoff_consistent(a, b, cap):
         assert capped == full
     else:
         assert capped == cap + 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(words.filter(lambda w: len(w) >= 2), st.integers(1, 1000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.text(alphabet="abcdefghijkæøå", min_size=2, max_size=9),
+)
+def test_symspell_index_equals_bruteforce(lex, query):
+    """The deletion-variant index must return exactly the brute-force
+    TOP candidate: min (distance, -freq, term) within max_edit=2.
+    Contract: queries of length ≥ 2 (the corrector never looks up 1-char
+    tokens, correct_ocr.py:341)."""
+    from memo_fraktur_ocr_code_spark.functions.symspell import SymSpellIndex
+
+    idx = SymSpellIndex.from_pairs(lex)
+    got = idx.lookup_top(query)
+    w = query.lower()
+    if w in idx.words:
+        assert got == w
+        return
+    cands = [
+        (osa_distance(w, t), -c, t)
+        for t, c in idx.words.items()
+        if osa_distance(w, t) <= 2
+    ]
+    want = min(cands)[2] if cands else None
+    assert got == want

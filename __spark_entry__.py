@@ -63,8 +63,6 @@ _DOC_TOKENS_SQL = (
 
 # Multi-line variant of documents: deterministic reshaping so line/hyphen
 # operators have real work (same expression on both engines).
-_MULTILINE_SPARK = None
-
 
 def _docs_multiline(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

@@ -35,7 +35,7 @@ words = st.text(
 token_tuples = st.lists(words.filter(bool), max_size=12).map(tuple)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(texts)
 def test_tokenize_deterministic_and_whitespace_free(s):
     toks = tokenize(s)
@@ -45,7 +45,7 @@ def test_tokenize_deterministic_and_whitespace_free(s):
     assert tokenize(" ".join(toks)) == toks
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(texts)
 def test_correct_easy_idempotent_and_removes_targets(s):
     out = correct_easy(s)
@@ -53,21 +53,21 @@ def test_correct_easy_idempotent_and_removes_targets(s):
     assert correct_easy(out) == out
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(st.lists(texts, max_size=6))
 def test_fix_hyphens_preserves_arity(lst):
     out = fix_hyphens(lst)
     assert len(out) == len(lst)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(st.lists(texts, min_size=1, max_size=5))
 def test_assemble_turns_preserves_arity(lst):
     out = assemble_turns(lst)
     assert len(out) == len(lst)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(token_tuples, token_tuples)
 def test_align_b_to_a_arity(a, b):
     if not a:
@@ -76,7 +76,7 @@ def test_align_b_to_a_arity(a, b):
         assert len(align_b_to_a(a, b)) == len(a)
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(token_tuples, token_tuples)
 def test_token_align_arity(corr, orig):
     c, o = token_align(corr, orig)
@@ -90,7 +90,7 @@ def test_token_align_arity(corr, orig):
         assert len(c) <= 1 and len(o) <= 1
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(words, words)
 def test_metric_properties(a, b):
     lev = levenshtein(a, b)
@@ -109,7 +109,7 @@ def test_metric_properties(a, b):
     assert (r == 1.0) == (a == b)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, derandomize=True)
 @given(words, words, st.integers(min_value=0, max_value=3))
 def test_osa_cutoff_consistent(a, b, cap):
     full = osa_distance(a, b)
@@ -120,7 +120,7 @@ def test_osa_cutoff_consistent(a, b, cap):
         assert capped == cap + 1
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.tuples(words.filter(lambda w: len(w) >= 2), st.integers(1, 1000)),

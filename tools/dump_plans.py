@@ -1,0 +1,88 @@
+"""Regenerate docs/PLANS.md — formatted physical-plan audits for the
+headline queries (pushdown / pruning / broadcast / shuffle evidence)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import __spark_entry__ as e
+    from memo_fraktur_ocr_code_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.001"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(mode)
+
+    sections = []
+
+    def add(title, df, note):
+        p = plan(df)
+        lines = p.splitlines()
+        tree_end = next(
+            (i for i, line in enumerate(lines) if line.strip() == "" and i > 3),
+            len(lines),
+        )
+        tree = "\n".join(lines[:tree_end])
+        details = "\n".join(
+            line
+            for line in lines
+            if "PushedFilters" in line or "ReadSchema" in line
+        )
+        sections.append(f"## {title}\n\n{note}\n\n```\n{tree}\n{details}\n```\n")
+
+    add(
+        "Flagship correction pipeline (single-shuffle partition-walk)",
+        e.entry(spark),
+        "One Exchange total: both channels union, hash-repartition by "
+        "conv_id (explicit count — AQE byte-coalescing would serialize the "
+        "CPU-bound kernel), sort within partitions, one Arrow kernel walks "
+        "whole partitions.",
+    )
+    add(
+        "TPC-H Q1-style aggregate (q1_lineitem_agg)",
+        e.queries()["q1_lineitem_agg"](spark, sf),
+        "Predicate pushdown to the parquet scan, column pruning to 6 "
+        "columns, partial (map-side) HashAggregate before the exchange.",
+    )
+    add(
+        "Order-revenue top-k (j4_q3_top_orders)",
+        e.queries()["j4_q3_top_orders"](spark, sf),
+        "Both dimension joins planned as BroadcastHashJoin; top-k as "
+        "TakeOrderedAndProject (no global sort).",
+    )
+    add(
+        "MinHash-LSH near-dup pairs (dedup_minhash_lsh)",
+        e.queries()["dedup_minhash_lsh"](spark, sf),
+        "Candidates via band-bucket equi-join (SortMergeJoin on (band, "
+        "bucket)) — shuffles scale with candidates, never |docs|².",
+    )
+    add(
+        "Exact cosine top-k (sim_ann_cosine)",
+        e.queries()["sim_ann_cosine"](spark, sf),
+        "Query side broadcast (BroadcastNestedLoopJoin over the small "
+        "query set); scores fold JVM-side (zip_with/aggregate inside "
+        "codegen); window top-k per query.",
+    )
+
+    out = (
+        "# Physical plan audits (`.explain('formatted')`, local[4],"
+        " sf0.001)\n\n"
+        "Regenerate with `python tools/dump_plans.py`.\n\n"
+        + "\n".join(sections)
+    )
+    with open("docs/PLANS.md", "w") as f:
+        f.write(out)
+    print("written docs/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

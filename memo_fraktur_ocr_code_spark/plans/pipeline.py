@@ -60,6 +60,13 @@ def correct_pipeline(
     * ``fused=False``: staged operators (Catalyst regexp chain for easy,
       separate kernels, equi-join for the alt channel) — kept for plan
       inspection and as a cross-check.
+
+    Extreme conversation-length skew: the fused plans process each
+    conversation inside one task (assembly's cross-turn dehyphenation is
+    order-dependent).  For pathological conversations (millions of turns)
+    use ``fused=False`` — there only the cheap O(chars) assembly stage is
+    conv-grouped, while correct_hard/sym_wordcorrect are per-turn and
+    rebalance freely across the cluster.
     """
     if fused is True:
         return _correct_pipeline_partition(

@@ -1176,16 +1176,37 @@ FROM documents
 
 
 def _q_fingerprint(spark, sf_dir):
-    return ts_ops.fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fp_md5"
+    d = ts_ops.fingerprint(_t(spark, sf_dir, "documents"))
+    return ts_ops.rolling_fingerprint(d).select(
+        "doc_id", "fp_md5", "fp_roll"
     )
 
 
 _SQL_FINGERPRINT = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents)
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5
-FROM documents
+       md5(norm) AS fp_md5,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split(norm, ''), c -> CAST(unicode(c) AS BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647)
+       END AS fp_roll
+FROM n
 """
+
+
+def _q_sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_lists=16,
+        n_probe=4,
+    )
 
 
 def _q_f2_date_filter(spark, sf_dir):
@@ -1443,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "sim_srp_lsh_topk": _q_srp_lsh_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "multimodal_features": _q_multimodal_features,
     }
 

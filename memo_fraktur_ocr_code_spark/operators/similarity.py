@@ -146,3 +146,81 @@ def srp_lsh_topk(
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into ``n_lists`` inverted lists,
+    query probes its ``n_probe`` nearest lists, exact re-rank inside.
+
+    Centroids are chosen deterministically (the ``n_lists`` corpus vectors
+    with the smallest ids — a k-means-free coarse codebook; at real scale
+    substitute trained centroids, the plan shape is identical).  Corpus
+    assignment is a broadcast argmax; candidate retrieval is an equi-join
+    on list id — shuffle scales with probed candidates, not |corpus|."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vv"),
+    )
+    w_cent = Window.orderBy("neighbor_id")
+    cents = (
+        v.withColumn("rn", F.row_number().over(w_cent))
+        .where(F.col("rn") <= n_lists)
+        .select(
+            (F.col("rn") - 1).alias("list_id"), F.col("vv").alias("cv")
+        )
+    )
+    def _sim(a, b):
+        return _dot(a, b) / (_norm(a) * _norm(b))
+
+    # corpus → nearest centroid
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_sim"), "list_id"
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id", "vv", "list_id",
+            _sim(F.col("vv"), F.col("cv")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "vv", "list_id")
+    )
+    # queries → n_probe nearest centroids
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_array(vec_col).alias("qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), "list_id"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "list_id",
+            _sim(F.col("qv"), F.col("cv")).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_sim(F.col("qv"), F.col("vv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -107,3 +107,18 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         md5.alias("fp_md5"),
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint").alias("fp64"),
     )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit polynomial rolling hash of the normalized text — computed
+    as a sequential JVM fold over char codes, engine-portable (same fold
+    exists in any SQL dialect with list_reduce): h = (h*31 + code) mod p."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    chars = F.split(norm, "")
+    prime = F.lit((1 << 31) - 1)
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), prime),
+    )
+    return df.select("*", fp.alias("fp_roll"))

@@ -341,3 +341,24 @@ def test_range_join_binned(spark):
     ).collect()
     got = {r.click_id for r in out}
     assert got == {1, 2}  # interval spans multiple bins; outside excluded
+
+
+def test_ivf_topk_and_rolling_fingerprint(spark):
+    from memo_fraktur_ocr_code_spark.operators.similarity import ivf_topk
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        rolling_fingerprint,
+    )
+
+    emb = _embs(spark)
+    out = ivf_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=3, n_lists=4, n_probe=2
+    ).collect()
+    assert out[0].neighbor_id == 0 and out[0].rank == 1
+
+    d = spark.createDataFrame(
+        [(0, "abc"), (1, "abd"), (2, "abc")], "doc_id bigint, text string"
+    )
+    fp = {r.doc_id: r.fp_roll for r in rolling_fingerprint(d).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+    # h('abc') = ((97*31)+98)*31+99 mod p
+    assert fp[0] == ((97 * 31 + 98) * 31 + 99) % ((1 << 31) - 1)

@@ -34,7 +34,7 @@ VOCAB = (
     "manden konen barnet folket kongen præsten byen landet vejen døren "
     "vinduet bordet stolen bogen brevet ordet stemmen øjnene hænderne "
     "hjertet tankerne drømme glæde sorg frygt haab kærlighed venskab "
-    "fjende nabo broder søster fader moder"
+    "fjende nabo broder søster fader moder sig"
 ).split()
 
 ROLES = ("user", "assistant", "tool")
@@ -61,6 +61,10 @@ def _word(conv: str, t: int, li: int, wi: int) -> str:
 def _corrupt_base(word: str, key: int) -> str:
     """Deterministic noisy rendering of a clean word (base OCR channel)."""
     r = key % 100
+    if word == "sig" and r < 50:
+        # canonical false-positive-cancellation case: 'sie' suggests 'sig'
+        # but the (sie, sig) pair is cancelled (correct_ocr.py:361-369)
+        return "sie"
     if r < 14:
         w = word.replace("æ", "œ", 1)  # correct_easy target
     elif r < 22:

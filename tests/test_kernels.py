@@ -149,3 +149,17 @@ def test_alt_ocr_correct_canonical_cases():
     # newlines survive the pilcrow round-trip
     out = alt_ocr_correct("tyste\nmand", "tyske\nmand", mf)
     assert out == "tyske\nmand"
+
+
+def test_false_positive_cancellation_and_pagebreak_guard():
+    """J7 (correct_ocr.py:361-369) + the PAGEBREAK guard (:371-372)."""
+    lex = [("sig", 100), ("mand", 50)]
+    idx = SymSpellIndex.from_pairs(lex)
+    # 'sie' → lookup suggests 'sig' (distance 1), cancelled by the FP list
+    assert idx.lookup_top("sie") == "sig"
+    assert get_word_suggestion("sie", idx) == "sie"
+    assert get_word_suggestion("Sie", idx) == "Sie"
+    # a word containing the pagebreak marker is never corrected
+    pb = "___PAGEBREAK___"
+    assert get_word_suggestion(pb, idx) == pb
+    assert word_correct_text(f"sie mand {pb}", idx) == f"sie mand {pb}"

@@ -5,13 +5,15 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}``.
 
 Also produces the scaling evidence required by BASELINE.json's north rule
-(two cluster sizes): the flagship correction pipeline runs at local[8] and
-local[32] on the same input; the JSON carries turns/sec at both plus the
-scaling efficiency (speedup / ideal-speedup).  The same numbers are
-written to BENCH.md.
+(two cluster sizes): the flagship correction pipeline runs pinned to 2 and
+8 cores (N and 4N) on the same input; the JSON carries turns/sec at both
+plus the scaling efficiency (speedup / ideal-speedup).  The same numbers
+are written to BENCH.md along with the measurement methodology.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_REPLICATION
-(transcript volume multiplier, default 24 → ~48k turns), BENCH_SKIP_SCALING.
+(transcript volume multiplier, default 48 → ~3.8M turns),
+BENCH_SCALING_SAMPLE_MOD (1/K conv sample for the scaling runs),
+BENCH_SKIP_SCALING.
 """
 
 from __future__ import annotations

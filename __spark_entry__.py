@@ -982,6 +982,50 @@ ORDER BY freq DESC, token
 """
 
 
+def _q_a3_alignment_averages(spark, sf_dir):
+    """A3 — per-document alignment averages (align_ocr.py:49-52): mean
+    levenshtein and match rate over aligned (token, ocrtok) pairs;
+    integer sums + one final division for cross-engine exactness."""
+    toks = _doc_tokens(spark, sf_dir).select(
+        "doc_id", "token", F.regexp_replace("token", "e", "c").alias("ocrtok")
+    )
+    lev = F.levenshtein("token", "ocrtok")
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(lev).alias("lev_sum"),
+            F.sum(F.when(F.col("token") == F.col("ocrtok"), 1).otherwise(0))
+            .alias("n_match"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "lev_sum",
+            (F.col("lev_sum") / F.col("n")).alias("avg_lev"),
+            (F.col("n_match") / F.col("n")).alias("match_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_A3 = f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+pairs AS (
+  SELECT doc_id, token, replace(token, 'e', 'c') AS ocrtok FROM toks),
+g AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(levenshtein(token, ocrtok)) AS BIGINT) AS lev_sum,
+         CAST(sum(CASE WHEN token = ocrtok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM pairs GROUP BY doc_id)
+SELECT doc_id, n, lev_sum,
+       lev_sum / n AS avg_lev,
+       n_match / n AS match_rate
+FROM g ORDER BY doc_id
+"""
+
+
 def _q_a1_salted(spark, sf_dir):
     """Same result as a1 via the two-phase salted aggregation (skew
     technique, SURVEY §4.3) — verified against the identical SQL."""
@@ -1435,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_unigram_freq": _q_a1_unigram,
         "a1_salted_unigram_freq": _q_a1_salted,
         "a2_bigram_freq": _q_a2_bigram,
+        "a3_alignment_averages": _q_a3_alignment_averages,
         "a4_freq_breakdown": _q_a4_breakdown,
         "a5_quality_rollup": _q_a5_rollup,
         "a6_precision_recall": _q_a6_precision_recall,
@@ -1490,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "w4_chunk_key": _SQL_W4.format(w1=_SQL_W1),
         "u3_conditional_add": _SQL_U3,
         "a2_bigram_freq": _SQL_A2,
+        "a3_alignment_averages": _SQL_A3,
         "a4_freq_breakdown": _SQL_A4,
         "a5_quality_rollup": _SQL_A5,
         "a6_precision_recall": _SQL_A6,

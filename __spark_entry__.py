@@ -1092,6 +1092,60 @@ WHERE cosine >= 0.35 ORDER BY id_a, id_b
 """
 
 
+def _q_dedup_embedding_srp(spark, sf_dir):
+    """The SCALE path of embedding dedup: SRP-LSH bucket equi-join for
+    candidates + exact cosine verify (dedup.py bits>0).  The oracle
+    reproduces the bucketing itself — the md5-derived hyperplanes are
+    inlined as SQL literals, so DuckDB computes identical signatures and
+    the comparison checks the LSH plan end-to-end, not just its recall."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    return embedding_cosine_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, bits=6
+    ).select("id_a", "id_b", "cosine")
+
+
+def _sql_dedup_srp(dim: int = 64, bits: int = 6) -> str:
+    """Generate the DuckDB twin of the SRP bucket signature: same
+    deterministic hyperplanes (similarity._hyperplanes), same left-fold
+    dot-product order, strict >0 sign rule."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for b, plane in enumerate(_hyperplanes(dim, bits)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {dim + 1}),"
+            f" i -> ({arr})[i] * v[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    bucket = "\n           + ".join(terms)
+    cos = (
+        "round(list_reduce(list_transform(range(1, 65),"
+        " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(range(1, 65),"
+        " i -> a.v[i] * a.v[i]), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(range(1, 65),"
+        " i -> b.v[i] * b.v[i]), (x, y) -> x + y))), 6)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sig AS (
+  SELECT id, v, {bucket} AS bucket
+  FROM v),
+scored AS (
+  SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.35 ORDER BY id_a, id_b
+"""
+
+
 def _q_sim_ann_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
@@ -1253,6 +1307,36 @@ def _q_sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_f1_discard_filter(spark, sf_dir):
+    """F1 — the production entry gate (run_ocr_pipeline.py:38-44): drop
+    documents whose metadata row is flagged discard/quarantine, via a
+    broadcast anti-join.  Flags derived deterministically from doc_id."""
+    from memo_fraktur_ocr_code_spark.operators.filters import (
+        filter_discarded,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    meta = d.select(
+        F.col("doc_id").alias("name"),
+        (F.col("doc_id") % 7 == 0).alias("discard"),
+        (F.col("doc_id") % 11 == 3).alias("quarantine"),
+    )
+    kept = filter_discarded(
+        d.select("doc_id", "n_chars"), meta, key_col="doc_id",
+        meta_key="name",
+    )
+    return kept.orderBy("doc_id")
+
+
+_SQL_F1 = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 7 = 0 OR doc_id % 11 = 3)
+ORDER BY doc_id
+"""
+
+
 def _q_f2_date_filter(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -1410,6 +1494,11 @@ def _q_pipeline_correct_turns(spark, sf_dir):
 
 
 def _q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH with exact-Jaccard verification of candidates — the
+    production shape (LSH prunes, exact verifies).  With 16 bands × 2 rows
+    the candidate recall at j≥0.7 is 1-(1-0.7²)^16 ≈ 0.99998, so the
+    verified output equals a from-scratch exact char-12-gram Jaccard join,
+    which the DuckDB oracle computes independently (no xxhash needed)."""
     from memo_fraktur_ocr_code_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -1417,14 +1506,81 @@ def _q_minhash_lsh(spark, sf_dir):
         n=12,
         threshold=0.7,
         num_hashes=32,
-        bands=8,
+        bands=16,
+        verify="exact",
     )
 
 
+_SQL_MINHASH = """
+WITH docs_n AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id, u AS shingle
+  FROM (SELECT id,
+               unnest(list_transform(range(1, len(t) - 10),
+                      i -> substring(t, i, 12))) AS u
+        FROM docs_n WHERE len(t) >= 12)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
 def _q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3, where the 4×15-bit block
+    pigeonhole makes LSH recall exact — and the md5-derived 60-bit token
+    hash lets DuckDB recompute the signatures bit for bit."""
     from memo_fraktur_ocr_code_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# Full independent recompute of the 60-bit simhash in DuckDB: md5 hex →
+# int via nibble shifts, per-bit weighted majority, block-bucket join.
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents),
+h AS (
+  SELECT id,
+         list_sum([ ((strpos('0123456789abcdef',
+                             substring(md5(tok), i, 1)) - 1)::BIGINT
+                     << (4 * (15 - i)))
+                    FOR i IN range(1, 16) ])::BIGINT AS h
+  FROM toks),
+bits AS (
+  SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+  GROUP BY id, b),
+sig AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY id),
+blocks AS (
+  SELECT id, simhash, blk, (simhash >> (15 * blk)) & 32767 AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bl),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM blocks l
+  JOIN blocks r ON l.blk = r.blk AND l.key = r.key AND l.id < r.id)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def _q_srp_lsh_topk(spark, sf_dir):
@@ -1439,6 +1595,11 @@ def _q_srp_lsh_topk(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing check: mapInPandas feature extraction over
+    binary payloads, projected to a canonical byte-string so the result is
+    hashable cross-engine (the stub feature vector is the first 8 md5
+    digest bytes of kind+payload, scaled to [0,1]; round(x*255) recovers
+    the exact bytes)."""
     from memo_fraktur_ocr_code_spark.operators.multimodal import (
         extract_features,
     )
@@ -1454,7 +1615,39 @@ def _q_multimodal_features(spark, sf_dir):
         (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         F.lit("fake").alias("codec"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.array_join(
+            F.transform(
+                "feat",
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("feat_bytes"),
+        "note",
+    ).orderBy("media_id")
+
+
+# DuckDB re-derives the stub features from first principles: md5 hex of
+# kind||text, first 8 bytes via nibble arithmetic (no xxhash/array types
+# needed on the oracle side).
+_SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         md5((CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END)
+             || text) AS hx
+  FROM documents)
+SELECT media_id, kind,
+       array_to_string(
+         [ ((strpos('0123456789abcdef', substring(hx, 2*i-1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1))::VARCHAR
+           FOR i IN range(1, 9) ], ',') AS feat_bytes,
+       'stub' AS note
+FROM m ORDER BY media_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1467,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_e11_render": _q_e10_e11_render,
         "e9_strip_gold_markers": _q_e9_strip_gold_markers,
         # §2.2 filters
+        "f1_discard_filter": _q_f1_discard_filter,
         "f2_date_filter": _q_f2_date_filter,
         "f3_clean_lines": _q_f3_clean_lines,
         "f7_final_token_trim": _q_f7_final_token_trim,
@@ -1499,18 +1693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_srp": _q_dedup_embedding_srp,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
         "sim_ann_cosine": _q_sim_ann_cosine,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_counts,
         "fingerprint": _q_fingerprint,
-        # rows-only (no SQL oracle)
+        "multimodal_features": _q_multimodal_features,
+        # rows-only (no SQL oracle: per-turn alignment kernels / rank-only
+        # ANN retrieval — covered by byte-equality + agreement tests)
         "pipeline_correct_turns": _q_pipeline_correct_turns,
-        "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash,
         "sim_srp_lsh_topk": _q_srp_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -1521,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "e6_levenshtein": _SQL_E6,
         "e7_difftype": _SQL_E7,
         "e10_e11_render": _SQL_E10_E11,
+        "f1_discard_filter": _SQL_F1,
         "f2_date_filter": _SQL_F2,
         "f3_clean_lines": _SQL_F3,
         "w1_token_enum": _SQL_W1,
@@ -1555,4 +1752,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality(),
         "token_count": _SQL_TOKEN_COUNTS,
         "fingerprint": _SQL_FINGERPRINT,
+        "multimodal_features": _SQL_MULTIMODAL,
+        "dedup_minhash_lsh": _SQL_MINHASH,
+        "dedup_simhash": _SQL_SIMHASH,
+        "dedup_embedding_srp": _sql_dedup_srp(),
     }

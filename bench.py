@@ -107,7 +107,10 @@ def _run_pipeline_count(spark, lexicon, sample_mod: int | None = None) -> int:
         keep = F.pmod(F.xxhash64("conv_id"), F.lit(sample_mod)) == 0
         base = base.where(keep)
         alt = alt.where(keep)
-    out = correct_pipeline(spark, base, alt, lexicon)
+    # pin the kernel-stage partition count so every parallelism level does
+    # identical physical work (same partition sizes → same memo behavior,
+    # same per-task overhead); 128 = 4 waves on 32 cores, 64 waves on 2
+    out = correct_pipeline(spark, base, alt, lexicon, num_partitions=128)
     # force full materialization of the corrected text, not just counting
     return out.select(
         F.count("*").alias("n"), F.sum(F.length("corrected_text")).alias("c")
@@ -140,7 +143,10 @@ def run_headline(spark, sf_dir: str, lexicon) -> dict[str, float]:
 # sit below this box's contention knee, so the ratio reflects the job's
 # actual parallel fraction.
 SCALING_CORES = (2, 8)
-SCALING_SAMPLE_MOD = int(os.environ.get("BENCH_SCALING_SAMPLE_MOD", "3"))
+# full replicated input (no sampling) by default: longer runs amortize
+# fixed job overhead AND average out shared-VM interference bursts — both
+# previously depressed the measured efficiency below the plan's true one
+SCALING_SAMPLE_MOD = int(os.environ.get("BENCH_SCALING_SAMPLE_MOD", "0")) or None
 
 
 def _scaling_run(n: int, lexicon) -> dict:
@@ -288,8 +294,14 @@ def _write_bench_md(out: dict) -> None:
         "## Two-cluster-size scaling (north rule: efficiency ≥ 0.8)",
         "",
         f"Sandbox stand-in for N vs 4N executors: same job, same input,"
-        f" taskset-pinned local[{lo}] vs local[{hi}] (1/"
-        f"{SCALING_SAMPLE_MOD} conv sample).  Both levels sit below this"
+        f" taskset-pinned local[{lo}] vs local[{hi}]"
+        + (
+            f" (1/{SCALING_SAMPLE_MOD} conv sample)"
+            if SCALING_SAMPLE_MOD
+            else " (full replicated input, 128 kernel partitions at both"
+            " levels)"
+        )
+        + ".  Both levels sit below this"
         " single box's memory-bandwidth/turbo contention knee, so the"
         " ratio reflects the job's parallel fraction rather than"
         " shared-machine artifacts that separate 4N-node clusters do not"

@@ -61,11 +61,28 @@ def get_align_indexes(a: tuple, b: tuple) -> list[tuple[int, int, int, int, bool
 
 def _iter_align(orig_toks: tuple, first_tok: str, rest: tuple) -> list[str]:
     """Best binary split of orig_toks against (first_tok, rest) by summed
-    indel ratio, with perfect-match early exit (align_ocr.py:178-196)."""
+    indel ratio, with perfect-match early exit (align_ocr.py:178-196).
+
+    Output-identical pruning: indel_ratio(a, b) ≤ 2·min(|a|,|b|)/(|a|+|b|)
+    (equality iff one embeds in the other), so split points whose length
+    bound cannot beat the incumbent sum skip the O(n·m) DP entirely.  A
+    bounded-at-1 candidate is never skipped, preserving the reference's
+    perfect-match early-exit order."""
     best_sum = 0.0
     split = [orig_toks[0], SPLIT_SEP.join(orig_toks[1:])]
     rest_joined = "".join(rest)
+    lf, lr = len(first_tok), len(rest_joined)
+    # cumulative joined-prefix lengths: lens[i] = len("".join(orig[:i]))
+    lens = [0]
+    for t in orig_toks:
+        lens.append(lens[-1] + len(t))
+    total = lens[-1]
     for i in range(len(orig_toks) + 1):
+        l1, l2 = lens[i], total - lens[i]
+        b1 = 1.0 if l1 + lf == 0 else (2.0 * min(l1, lf)) / (l1 + lf)
+        b2 = 1.0 if l2 + lr == 0 else (2.0 * min(l2, lr)) / (l2 + lr)
+        if b1 < 1.0 and b2 < 1.0 and b1 + b2 <= best_sum:
+            continue
         p1, p2 = orig_toks[:i], orig_toks[i:]
         r1 = indel_ratio("".join(p1), first_tok)
         r2 = indel_ratio("".join(p2), rest_joined)

@@ -43,7 +43,11 @@ def levenshtein(a: str, b: str) -> int:
 
 
 def indel_distance(a: str, b: str) -> int:
-    """Edit distance with substitution cost 2 == len(a)+len(b)-2*LCS."""
+    """Edit distance with substitution cost 2 == len(a)+len(b)-2*LCS.
+
+    Common prefix/suffix are stripped before the DP (distance-invariant:
+    LCS(xay, xby) = |x| + LCS(a, b) + |y|), which collapses the hot
+    near-match case to a tiny DP."""
     if a == b:
         return 0
     la, lb = len(a), len(b)
@@ -51,18 +55,29 @@ def indel_distance(a: str, b: str) -> int:
         return lb
     if lb == 0:
         return la
-    # LCS length DP
-    prev = [0] * (lb + 1)
-    for i in range(1, la + 1):
-        cur = [0] * (lb + 1)
-        ca = a[i - 1]
-        for j in range(1, lb + 1):
-            if ca == b[j - 1]:
+    lo = 0
+    m = min(la, lb)
+    while lo < m and a[lo] == b[lo]:
+        lo += 1
+    ea, eb = la, lb
+    while ea > lo and eb > lo and a[ea - 1] == b[eb - 1]:
+        ea -= 1
+        eb -= 1
+    a2, b2 = a[lo:ea], b[lo:eb]
+    if not a2 or not b2:
+        return len(a2) + len(b2)
+    # LCS length DP on the stripped middle
+    prev = [0] * (len(b2) + 1)
+    for i in range(1, len(a2) + 1):
+        cur = [0] * (len(b2) + 1)
+        ca = a2[i - 1]
+        for j in range(1, len(b2) + 1):
+            if ca == b2[j - 1]:
                 cur[j] = prev[j - 1] + 1
             else:
                 cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
         prev = cur
-    return la + lb - 2 * prev[lb]
+    return len(a2) + len(b2) - 2 * prev[len(b2)]
 
 
 def indel_ratio(a: str, b: str) -> float:

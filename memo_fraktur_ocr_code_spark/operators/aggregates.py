@@ -50,14 +50,20 @@ def freq_breakdown(df: DataFrame, col: str) -> DataFrame:
     Percentage returned in exact basis points (count*10000 div total) to
     stay engine-portable."""
     counts = df.groupBy(col).agg(F.count("*").alias("count"))
-    total = Window.partitionBy()
-    return counts.select(
-        col,
-        "count",
-        (F.col("count") * 10000 / F.sum("count").over(total))
-        .cast("bigint")
-        .alias("pct_bp"),
-    ).orderBy(F.desc("count"), col)
+    # grand total via broadcast scalar join, not an unpartitioned window:
+    # stays distributed even when `col` has 10^9 distinct values.
+    total = counts.groupBy().agg(F.sum("count").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            col,
+            "count",
+            (F.col("count") * 10000 / F.col("_total"))
+            .cast("bigint")
+            .alias("pct_bp"),
+        )
+        .orderBy(F.desc("count"), col)
+    )
 
 
 def novel_quality_rollup(df: DataFrame) -> DataFrame:
@@ -175,11 +181,15 @@ def same_char_aggregates(df: DataFrame) -> DataFrame:
 
 def top_n_sum(freqlist: DataFrame, n: int = 50) -> DataFrame:
     """A11 — calibration sum over the top-N frequency rows
-    (correct_ocr.py:274-276)."""
-    w = Window.orderBy(F.desc("freq"), "token")
+    (correct_ocr.py:274-276).
+
+    Distributed top-k (``orderBy.limit`` → per-partition TakeOrdered +
+    driver merge of n rows), NOT a global ``row_number`` window — the
+    window form funnels the whole lexicon through one task, a
+    driver-sized bottleneck on a 10^9-row freqlist."""
     return (
-        freqlist.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n)
+        freqlist.orderBy(F.desc("freq"), "token")
+        .limit(n)
         .groupBy()
         .agg(F.sum("freq").alias("top_sum"))
     )

@@ -76,18 +76,43 @@ def shingle_table(
     )
 
 
+def cap_shingle_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles that appear in more than ``max_df`` documents before
+    any shingle self-join.
+
+    A shingle with document frequency k contributes k² candidate rows to
+    an inverted-index join — one stop-word n-gram shared by 10^7 docs is
+    10^14 rows.  Heavy hitters are by definition few, so the hot-shingle
+    list broadcast-anti-joins for free; near-dup recall is unaffected
+    because near-duplicates also share *rare* shingles."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by exact n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join on shingle (only co-shingled pairs meet),
-    then |A∩B| aggregation and |A|,|B| lookup — never a cross join."""
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    then |A∩B| aggregation and |A|,|B| lookup — never a cross join.
+    ``max_df`` caps shingle document frequency before the self-join (see
+    ``cap_shingle_df``); sizes are computed on the *capped* table so the
+    Jaccard stays a true Jaccard of the surviving shingle sets."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -126,10 +151,15 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id, array<bigint> minhash signature).  h_i(s) = (a_i*x + b_i) mod p
-    over xxhash64 shingle values — all JVM expressions."""
+    over xxhash64 shingle values — all JVM expressions.  ``max_df`` prunes
+    hot shingles first (``cap_shingle_df``) so signatures reflect the
+    discriminative shingles only."""
     sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
     sh = sh.select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("x")
     )
@@ -156,12 +186,24 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    verify: str = "estimate",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket equi-join for candidates,
-    then signature-estimated Jaccard filter.  Shuffles scale with
-    candidates, not n²."""
+    then a Jaccard filter.  Shuffles scale with candidates, not n².
+
+    ``verify='estimate'`` filters on the signature-estimated Jaccard
+    (matching-hash fraction).  ``verify='exact'`` joins candidates back to
+    the shingle table and filters on TRUE Jaccard — the production shape
+    (LSH prunes, exact verifies), and the oracle-checkable one: with a
+    high-recall band split the output equals a from-scratch exact-Jaccard
+    join, which DuckDB recomputes independently.  Exact output columns:
+    (id_a, id_b, inter, size_a, size_b) — integers only, so cross-engine
+    value hashes can't drift on float formatting."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, max_df=max_df
+    ).cache()
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -188,6 +230,43 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if verify == "exact":
+        sh = shingle_table(df, id_col, text_col, n)
+        if max_df is not None:
+            sh = cap_shingle_df(sh, max_df)
+        sh = sh.cache()
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+        sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+        # candidates × shingles(id_a), matched against shingles(id_b):
+        # cost ∝ candidate pairs × shingles-per-doc, never the corpus²
+        inter = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter.join(
+                sizes.select(
+                    F.col("id").alias("id_a"), F.col("sz").alias("size_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("id").alias("id_b"), F.col("sz").alias("size_b")
+                ),
+                "id_b",
+            )
+            .where(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+                >= threshold
+            )
+            .select("id_a", "id_b", "inter", "size_a", "size_b")
+            .orderBy("id_a", "id_b")
+        )
     est = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -212,22 +291,35 @@ def minhash_lsh_pairs(
     return est
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits a signed bigint exactly
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit weighted majority of
-    token hashes — explode + bitwise expressions + sum aggregate, all JVM."""
+    """60-bit SimHash over whitespace tokens: per-bit weighted majority of
+    token hashes — explode + bitwise expressions + sum aggregate, all JVM.
+
+    Token hash = first 15 hex chars of md5 parsed as an integer: engine-
+    portable (any SQL engine with md5 can recompute the signatures bit for
+    bit, which is what the DuckDB oracle does), deterministic across
+    executors, and still one codegen'd expression per token."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text_col(text_col), " ")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
     bit_sums = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     sig = bit_sums.select(
@@ -237,7 +329,7 @@ def simhash_signatures(
                 *[
                     F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") if b == 0 else F.shiftleft(F.lit(1).cast("bigint"), b))
                     .otherwise(F.lit(0).cast("bigint"))
-                    for b in range(64)
+                    for b in range(SIMHASH_BITS)
                 ]
             ),
             F.lit(0).cast("bigint"),
@@ -254,8 +346,9 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming, using
-    4×16-bit block buckets (pigeonhole: ≤3 differing bits ⇒ at least one
-    of 4 blocks identical) — candidates via bucket equi-join only."""
+    4×15-bit block buckets (pigeonhole: ≤3 differing bits ⇒ at least one
+    of 4 blocks identical, so recall is EXACT for max_hamming ≤ 3) —
+    candidates via bucket equi-join only."""
     sigs = simhash_signatures(df, id_col, text_col).cache()
     blocks = sigs.select(
         "id",
@@ -263,8 +356,8 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(
-                        F.lit(0xFFFF)
+                    F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(
+                        F.lit(0x7FFF)
                     )
                     for i in range(4)
                 ]

@@ -42,6 +42,7 @@ def correct_pipeline(
     do_hard: bool = True,
     do_sym: bool = True,
     fused: bool | str = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns (conv_id, turn_idx, corrected_text), one row per input turn,
     byte-equal to ``oracle.spec.correct_corpus`` under the stable
@@ -71,7 +72,7 @@ def correct_pipeline(
     if fused is True:
         return _correct_pipeline_partition(
             spark, transcripts, alt_transcripts, lexicon_pairs,
-            do_easy, do_hard, do_sym,
+            do_easy, do_hard, do_sym, num_partitions,
         )
     if fused == "cogroup":
         return _correct_pipeline_fused(
@@ -167,6 +168,7 @@ def _correct_pipeline_partition(
     do_easy: bool,
     do_hard: bool,
     do_sym: bool,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Single-shuffle plan: union both channels, hash-repartition by
     conv_id, sort within partitions, process whole partitions in one
@@ -205,15 +207,21 @@ def _correct_pipeline_partition(
     # Explicit partition count: the kernel stage is CPU-bound per row, so
     # AQE's byte-based partition coalescing (64 MB advisory) would collapse
     # it to a handful of tasks and serialize the Python work.  An explicit
-    # repartition(n, col) pins reducer parallelism to ~4 waves per core.
-    n_part = spark.sparkContext.defaultParallelism * 4
+    # repartition(n, col) pins reducer parallelism to ~4 waves per core
+    # (or the caller's ``num_partitions`` — benchmarks pin it constant
+    # across parallelism levels so both levels do identical physical work).
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 4
     d = u.repartition(n_part, "conv_id").sortWithinPartitions(*sort_cols)
+    if has_ts:
+        # ts orders duplicate turn_idx rows within the partition sort; the
+        # kernel itself never reads it — drop it before the Arrow transfer
+        # (narrow projection, intra-partition order preserved).
+        d = d.select("conv_id", "turn_idx", "text", "side")
 
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+    def process(
+        pdf: pd.DataFrame, index, mf, memo: dict
+    ) -> pd.DataFrame:
         conv_out, turn_out, text_out = [], [], []
-        index = bc_index.value if do_sym else None
-        mf = bc_guard.value if use_alt else None
-        memo: dict = {}
         convs = pdf["conv_id"].to_numpy()
         sides = pdf["side"].to_numpy()
         turn_idx = pdf["turn_idx"].to_numpy()
@@ -267,6 +275,12 @@ def _correct_pipeline_partition(
         )
 
     def kernel(batches):
+        # broadcast deref + memo once per partition, not per Arrow batch:
+        # the memo is a pure token→suggestion cache (deterministic), so
+        # partition scope only raises its hit rate
+        index = bc_index.value if do_sym else None
+        mf = bc_guard.value if use_alt else None
+        memo: dict = {}
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None and len(carry):
@@ -279,8 +293,8 @@ def _correct_pipeline_partition(
             done = pdf.iloc[:boundary]
             carry = pdf.iloc[boundary:]
             if len(done):
-                yield process(done)
+                yield process(done, index, mf, memo)
         if carry is not None and len(carry):
-            yield process(carry)
+            yield process(carry, index, mf, memo)
 
     return d.mapInPandas(kernel, schema=_OUT_SCHEMA)

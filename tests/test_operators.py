@@ -201,6 +201,78 @@ def test_simhash_pairs(spark):
     assert (0, 3) not in got
 
 
+def test_minhash_exact_verify_matches_plain_jaccard(spark):
+    """verify='exact' must reproduce the from-scratch inverted-index
+    Jaccard join (candidate recall is 1 for exact dups)."""
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.size_a, r.size_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), threshold=0.9, num_hashes=32, bands=16,
+            verify="exact",
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.9).collect()
+    }
+    assert set(got) == want
+    inter, sa, sb = got[(0, 1)]
+    assert inter == sa == sb  # identical shingle sets
+
+
+def test_cap_shingle_df_prunes_hot_shingle(spark):
+    """A shingle present in every doc is dropped at max_df=2; rare
+    shingles survive, and near-dup pairs on rare shingles still meet."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        cap_shingle_df,
+        shingle_table,
+    )
+
+    rows = [
+        (0, "zzz abcdefgh"),
+        (1, "zzz abcdefgh"),
+        (2, "zzz qrstuvwx"),
+        (3, "zzz mnoplkji"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_table(docs, n=3)
+    capped = cap_shingle_df(sh, max_df=2)
+    left = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "zzz" not in left  # hot shingle (df=4) pruned
+    assert "abc" in left  # rare shingle (df=2) kept
+    # the capped inverted-index join still finds the 0-1 near-dup pair
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.9, max_df=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) not in pairs
+
+
+def test_filter_discarded_gate(spark):
+    from memo_fraktur_ocr_code_spark.operators.filters import (
+        filter_discarded,
+    )
+
+    data = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "conv_id string, x int"
+    )
+    meta = spark.createDataFrame(
+        [
+            ("a", True, False),
+            ("b", False, True),
+            ("c", False, False),
+            ("e", True, True),  # flagged but absent from data
+        ],
+        "name string, discard boolean, quarantine boolean",
+    )
+    kept = sorted(
+        r.conv_id for r in filter_discarded(data, meta).collect()
+    )
+    assert kept == ["c", "d"]  # d has no metadata row → kept
+
+
 def _embs(spark):
     rows = []
     for i in range(20):

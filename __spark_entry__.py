@@ -836,9 +836,12 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
         "id",
         F.explode(
             F.array_distinct(
+                # size<5 guard: sequence(1, 0) would descend through index
+                # 0 and error under ANSI slice semantics on tiny docs
                 F.expr(
-                    "transform(sequence(1, greatest(size(ts)-4, 0)),"
-                    " i -> concat_ws(' ', slice(ts, i, 5)))"
+                    "CASE WHEN size(ts) < 5 THEN array()"
+                    " ELSE transform(sequence(1, size(ts)-4),"
+                    " i -> concat_ws(' ', slice(ts, i, 5))) END"
                 )
             )
         ).alias("shingle"),
@@ -1107,10 +1110,25 @@ def _q_dedup_embedding_srp(spark, sf_dir):
     ).select("id_a", "id_b", "cosine")
 
 
-def _sql_dedup_srp(dim: int = 64, bits: int = 6) -> str:
-    """Generate the DuckDB twin of the SRP bucket signature: same
-    deterministic hyperplanes (similarity._hyperplanes), same left-fold
-    dot-product order, strict >0 sign rule."""
+def _sql_vec_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"round({_sql_vec_dot(a, b, dim)}"
+        f" / (sqrt({_sql_vec_dot(a, a, dim)})"
+        f" * sqrt({_sql_vec_dot(b, b, dim)})), 6)"
+    )
+
+
+def _sql_srp_bucket(vcol: str, dim: int, bits: int) -> str:
+    """DuckDB twin of the SRP bucket signature: same deterministic
+    hyperplanes (similarity._hyperplanes) inlined as literals, same
+    left-fold dot-product order, strict >0 sign rule."""
     from memo_fraktur_ocr_code_spark.operators.similarity import _hyperplanes
 
     terms = []
@@ -1118,31 +1136,112 @@ def _sql_dedup_srp(dim: int = 64, bits: int = 6) -> str:
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         dot = (
             f"list_reduce(list_transform(range(1, {dim + 1}),"
-            f" i -> ({arr})[i] * v[i]), (x, y) -> x + y)"
+            f" i -> ({arr})[i] * {vcol}[i]), (x, y) -> x + y)"
         )
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
-    bucket = "\n           + ".join(terms)
-    cos = (
-        "round(list_reduce(list_transform(range(1, 65),"
-        " i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
-        " / (sqrt(list_reduce(list_transform(range(1, 65),"
-        " i -> a.v[i] * a.v[i]), (x, y) -> x + y))"
-        " * sqrt(list_reduce(list_transform(range(1, 65),"
-        " i -> b.v[i] * b.v[i]), (x, y) -> x + y))), 6)"
-    )
+    return "(" + "\n           + ".join(terms) + ")"
+
+
+def _sql_dedup_srp(dim: int = 64, bits: int = 6) -> str:
     return f"""
 WITH v AS (
   SELECT vec_id AS id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
 sig AS (
-  SELECT id, v, {bucket} AS bucket
+  SELECT id, v, {_sql_srp_bucket("v", dim, bits)} AS bucket
   FROM v),
 scored AS (
-  SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  SELECT a.id AS id_a, b.id AS id_b, {_sql_cosine("a.v", "b.v", dim)}
+           AS cosine
   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id)
 SELECT id_a, id_b, cosine FROM scored
 WHERE cosine >= 0.35 ORDER BY id_a, id_b
+"""
+
+
+def _sql_srp_topk(dim: int = 64, bits: int = 8, k: int = 5) -> str:
+    """Full independent recompute of srp_lsh_topk: bucket join between
+    query/corpus signatures + exact re-rank of candidates."""
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+c AS (
+  SELECT vec_id AS neighbor_id, v AS vv,
+         {_sql_srp_bucket("v", dim, bits)} AS bucket
+  FROM v WHERE vec_id >= 10),
+q AS (
+  SELECT vec_id AS query_id, v AS qv,
+         {_sql_srp_bucket("v", dim, bits)} AS bucket
+  FROM v WHERE vec_id < 10),
+cand AS (
+  SELECT query_id, neighbor_id, {_sql_cosine("qv", "vv", dim)} AS score
+  FROM c JOIN q USING (bucket)),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _sql_ivf_topk(
+    dim: int = 64, n_lists: int = 16, n_probe: int = 4, k: int = 5
+) -> str:
+    """Full independent recompute of ivf_topk: min-id coarse codebook,
+    argmax list assignment, n_probe nearest lists per query, exact
+    re-rank inside probed lists."""
+    sim_vc = (
+        f"{_sql_vec_dot('vv', 'cv', dim)}"
+        f" / (sqrt({_sql_vec_dot('vv', 'vv', dim)})"
+        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
+    )
+    sim_qc = (
+        f"{_sql_vec_dot('qv', 'cv', dim)}"
+        f" / (sqrt({_sql_vec_dot('qv', 'qv', dim)})"
+        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE vec_id >= 10),
+cents AS (
+  SELECT rn - 1 AS list_id, vv AS cv
+  FROM (SELECT vv, row_number() OVER (ORDER BY neighbor_id) AS rn FROM v)
+  WHERE rn <= {n_lists}),
+assigned AS (
+  SELECT neighbor_id, vv, list_id
+  FROM (SELECT neighbor_id, vv, list_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM v CROSS JOIN cents)
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, list_id
+  FROM (SELECT query_id, qv, list_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {sim_qc} DESC, list_id) AS rn
+        FROM q CROSS JOIN cents)
+  WHERE rn <= {n_probe}),
+cand AS (
+  SELECT query_id, neighbor_id, {_sql_cosine("qv", "vv", dim)} AS score
+  FROM assigned JOIN probes USING (list_id)),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
@@ -1179,6 +1278,66 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality gates over documents with a
+    deterministically planted duplicate line (so dup-line fractions are
+    exercised, not trivially zero)."""
+    d = _t(spark, sf_dir, "documents")
+    rep_line = F.substring("text", 1, 30)
+    planted = F.concat_ws("\n", F.col("text"), rep_line, rep_line)
+    return ts_ops.repetition_stats(
+        d.select("doc_id", planted.alias("text"))
+    ).orderBy("doc_id")
+
+
+_SQL_REPETITION = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) || substring(text, 1, 30)
+              || chr(10) || substring(text, 1, 30) AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM d),
+base AS (
+  SELECT doc_id, text,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+           AS chars_all,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0)
+           AS chars_distinct
+  FROM l),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM l WHERE len(toks) >= 2),
+counted AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, cnt * length(gram) AS covered,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt * length(gram) DESC, gram) AS rn
+  FROM counted)
+SELECT b.doc_id,
+       CAST(floor((n_lines - n_distinct) * 10000
+                  / greatest(n_lines, 1)) AS BIGINT) AS dup_line_bp,
+       CAST(floor((chars_all - chars_distinct) * 10000
+                  / greatest(chars_all, 1)) AS BIGINT) AS dup_line_char_bp,
+       CAST(floor(coalesce(t.covered, 0) * 10000
+                  / greatest(length(b.text), 1)) AS BIGINT)
+         AS top2gram_char_bp
+FROM base b
+LEFT JOIN (SELECT doc_id, covered FROM top WHERE rn = 1) t USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -1699,14 +1858,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_cosine": _q_sim_ann_cosine,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition_stats,
         "token_count": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "multimodal_features": _q_multimodal_features,
-        # rows-only (no SQL oracle: per-turn alignment kernels / rank-only
-        # ANN retrieval — covered by byte-equality + agreement tests)
-        "pipeline_correct_turns": _q_pipeline_correct_turns,
         "sim_srp_lsh_topk": _q_srp_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        # rows-only (no SQL oracle: the per-turn alignment/correction
+        # kernels are not SQL-expressible — covered by the byte-equality
+        # pipeline contract instead)
+        "pipeline_correct_turns": _q_pipeline_correct_turns,
     }
 
 
@@ -1750,10 +1911,13 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_cosine": _SQL_ANN,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
+        "repetition_stats": _SQL_REPETITION,
         "token_count": _SQL_TOKEN_COUNTS,
         "fingerprint": _SQL_FINGERPRINT,
         "multimodal_features": _SQL_MULTIMODAL,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
+        "sim_srp_lsh_topk": _sql_srp_topk(),
+        "sim_ivf_topk": _sql_ivf_topk(),
     }

@@ -160,6 +160,13 @@ def minhash_signatures(
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
+    return _signatures_from_shingles(sh, num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) table — shared by
+    ``minhash_signatures`` and ``minhash_lsh_pairs(verify='exact')`` so
+    the shingle explode happens once per job, not once per consumer."""
     sh = sh.select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("x")
     )
@@ -201,9 +208,11 @@ def minhash_lsh_pairs(
     (id_a, id_b, inter, size_a, size_b) — integers only, so cross-engine
     value hashes can't drift on float formatting."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, max_df=max_df
-    ).cache()
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        sh = cap_shingle_df(sh, max_df)
+    sh = sh.cache()  # one shingle explode feeds signatures AND verify
+    sigs = _signatures_from_shingles(sh, num_hashes).cache()
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -231,10 +240,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify == "exact":
-        sh = shingle_table(df, id_col, text_col, n)
-        if max_df is not None:
-            sh = cap_shingle_df(sh, max_df)
-        sh = sh.cache()
         sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
         sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
         sh_b = sh.select(F.col("id").alias("id_b"), "shingle")

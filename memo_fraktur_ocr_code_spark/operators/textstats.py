@@ -109,6 +109,96 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), the
+    standard web-scale quality gates:
+
+    * ``dup_line_bp``        — fraction of lines that are duplicates of an
+                               earlier line (basis points)
+    * ``dup_line_char_bp``   — fraction of line characters inside those
+                               duplicate occurrences
+    * ``top2gram_char_bp``   — fraction of text characters covered by the
+                               most frequent word 2-gram
+
+    Line measures are per-row array expressions (codegen, shuffle-free);
+    the 2-gram mode needs one shuffle keyed by (doc, gram) + a per-doc
+    window — both scale with corpus size, never corpus².  Ties on the top
+    gram break lexicographically (deterministic, oracle-matched)."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)),
+        lambda t: t != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    chars_all = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    chars_distinct = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.length(x),
+    )
+    base = df.select(
+        F.col(id_col),
+        c.alias("_text"),
+        ((n_lines - n_distinct) * 10000 / F.greatest(n_lines, F.lit(1)))
+        .cast("bigint")
+        .alias("dup_line_bp"),
+        (
+            (chars_all - chars_distinct)
+            * 10000
+            / F.greatest(chars_all, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dup_line_char_bp"),
+    )
+    toks = df.select(F.col(id_col), _ws_tokens(text_col).alias("ts"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            # guard: sequence(1, 0) is DESCENDING in Spark, so short docs
+            # must short-circuit to an empty array, not an empty sequence
+            F.expr(
+                "CASE WHEN size(ts) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(ts) - 1),"
+                " i -> concat(ts[i-1], ' ', ts[i])) END"
+            )
+        ).alias("gram"),
+    )
+    from pyspark.sql import Window
+
+    counted = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.col("cnt") * F.length("gram")), "gram"
+    )
+    top = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            id_col,
+            (F.col("cnt") * F.length("gram")).alias("_covered"),
+        )
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_line_bp",
+            "dup_line_char_bp",
+            (
+                F.coalesce(F.col("_covered"), F.lit(0))
+                * 10000
+                / F.greatest(F.length("_text"), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("top2gram_char_bp"),
+        )
+    )
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit polynomial rolling hash of the normalized text — computed
     as a sequential JVM fold over char codes, engine-portable (same fold

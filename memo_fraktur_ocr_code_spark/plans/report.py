@@ -8,6 +8,7 @@ token-level tables never reach the driver."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _fmt(df: DataFrame, limit: int = 50) -> str:
@@ -15,9 +16,37 @@ def _fmt(df: DataFrame, limit: int = 50) -> str:
     return pdf.to_string(index=False) if len(pdf) else "(empty)"
 
 
-def render_report(reports: dict[str, DataFrame], param_str: str) -> str:
+def with_reference_percentage(breakdown: DataFrame) -> DataFrame:
+    """Reference-parity rendering of a frequency breakdown: the engine
+    keeps exact basis points (``pct_bp``, cross-engine-hashable ints);
+    this view adds the reference's 2-decimal ``percentage`` column
+    (analyze_gold_vrt.py:196-200 ``round(pct, 2)``) at render time,
+    derived from the exact counts so no double rounding accumulates."""
+    total = breakdown.groupBy().agg(F.sum("count").alias("_total"))
+    return breakdown.crossJoin(F.broadcast(total)).select(
+        *[c for c in breakdown.columns if c != "pct_bp"],
+        F.round(F.col("count") * 100.0 / F.col("_total"), 2).alias(
+            "percentage"
+        ),
+    )
+
+
+def render_report(
+    reports: dict[str, DataFrame],
+    param_str: str,
+    reference_parity: bool = False,
+) -> str:
     """Render the evaluation report dict (plans/evaluate.py) to the text
-    layout of the reference's analysis files."""
+    layout of the reference's analysis files.  ``reference_parity=True``
+    formats breakdown percentages the reference's way (2dp) instead of
+    exposing the engine's exact basis-point column."""
+    if reference_parity:
+        reports = {
+            k: with_reference_percentage(v)
+            if "pct_bp" in v.columns
+            else v
+            for k, v in reports.items()
+        }
     prf = reports["precision_recall_f1"].collect()[0]
     sections = [
         f"--------\n\n{param_str}\nlevcat breakdown (base OCR)\n",

@@ -77,6 +77,134 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# S7bis — wide-VRT ingestion (the migration path for existing reference data)
+# ---------------------------------------------------------------------------
+
+# analyze_gold_vrt.py:170 — columns that are NOT per-OCR-source payload
+NON_OCR_COLS = (
+    "token wordnum lineword line page novel_id lemma pos sentword "
+    "gold_infreq"
+).split()
+
+# analyze_gold_vrt.py:179 conf['generalized_attrs'] — the per-source slice
+GENERALIZED_ATTRS = "ocrtok leven ratio cer levcat subst".split()
+
+
+def read_wide_vrt(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_datasets: int,
+    generalized: list[str] | None = None,
+    typed: bool = True,
+) -> DataFrame:
+    """Ingest an *existing* wide VRT file (one token per line, tab-
+    separated, N per-OCR-source column groups after the fixed columns)
+    into the long typed token table — the Spark re-expression of
+    ``transform_vrt`` + ``make_datasets`` (analyze_gold_vrt.py:156-193):
+    instead of pandas column slicing into ``n_datasets`` frames, one
+    ``stack()`` unpivot tags every row with its OCR source, so all
+    downstream per-source analyses are a ``groupBy('src')`` away.
+
+    Structural lines (``<corpus>``/``<text>``/``<sentence>`` and their
+    closers) are dropped exactly like the reference's regex.  With
+    ``typed=True`` the reference dtype map is applied ('NA' → NULL ratio,
+    int64 position columns); ``typed=False`` keeps every field a raw
+    string — the lossless mode the byte-stable round-trip test uses.
+
+    Scale: ``spark.read.text`` splits by line across executors; the
+    unpivot is a per-row expression (no shuffle, no Python)."""
+    gen = list(generalized or GENERALIZED_ATTRS)
+    lines = spark.read.text(path)
+    tok_lines = lines.where(
+        ~F.col("value").rlike(r"^</?(corpus|text|sentence)")
+    )
+    parts = F.split(F.col("value"), "\t")
+    wide = tok_lines.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(cols)]
+    )
+    ocr_cols = [c for c in cols if c not in NON_OCR_COLS]
+    width = len(ocr_cols) // n_datasets
+    if width * n_datasets != len(ocr_cols) or width != len(gen):
+        raise ValueError(
+            f"{len(ocr_cols)} OCR columns do not split into {n_datasets}"
+            f" groups of {len(gen)}"
+        )
+    chunks = [ocr_cols[i * width : (i + 1) * width] for i in range(n_datasets)]
+    stack_args = ", ".join(
+        "'" + ch[0] + "', " + ", ".join(f"`{c}`" for c in ch)
+        for ch in chunks
+    )
+    fixed = [c for c in cols if c in NON_OCR_COLS]
+    long = wide.selectExpr(
+        *fixed,
+        f"stack({n_datasets}, {stack_args}) AS (src, "
+        + ", ".join(gen)
+        + ")",
+    )
+    if not typed:
+        return long
+    typed_cols = [F.col("src"), F.col("token")]
+    for c in ("lineword", "sentword", "line", "page", "wordnum"):
+        if c in fixed:
+            typed_cols.append(F.col(c).cast("long").alias(c))
+    for c in fixed:
+        if c not in ("token", "lineword", "sentword", "line", "page",
+                     "wordnum"):
+            typed_cols.append(F.col(c))
+    for g in gen:
+        if g == "ratio":
+            typed_cols.append(
+                F.when(F.col("ratio") == "NA", None)
+                .otherwise(F.col("ratio"))
+                .cast("double")
+                .alias("ratio")
+            )
+        else:
+            typed_cols.append(F.col(g))
+    return long.select(*typed_cols)
+
+
+def wide_vrt_token_lines(
+    long: DataFrame,
+    cols: list[str],
+    n_datasets: int,
+    generalized: list[str] | None = None,
+) -> DataFrame:
+    """Inverse of ``read_wide_vrt(typed=False)``: pivot the per-source
+    rows back into one tab-joined wide token line per (fixed-cols) key —
+    byte-stable when keys are unique, which real VRT guarantees via
+    (novel_id, page, line, lineword).
+
+    Output: (sort keys..., vrt_line string); caller appends structural
+    tags.  The pivot is one shuffle on the fixed key with a literal
+    src list (no second pass to discover sources)."""
+    gen = list(generalized or GENERALIZED_ATTRS)
+    fixed = [c for c in cols if c in NON_OCR_COLS]
+    ocr_cols = [c for c in cols if c not in NON_OCR_COLS]
+    width = len(gen)
+    chunks = [ocr_cols[i * width : (i + 1) * width] for i in range(n_datasets)]
+    src_order = [ch[0] for ch in chunks]  # read_wide_vrt's src tag
+    p = long.groupBy(*fixed).pivot("src", src_order).agg(
+        F.first(F.struct(*gen))
+    )
+    out_fields = []
+    for c in cols:
+        if c in NON_OCR_COLS:
+            out_fields.append(F.col(c))
+        else:
+            for i, ch in enumerate(chunks):
+                if c in ch:
+                    out_fields.append(
+                        F.col(f"`{src_order[i]}`").getField(gen[ch.index(c)])
+                    )
+                    break
+    return p.select(
+        *fixed, F.concat_ws("\t", *out_fields).alias("vrt_line")
+    )
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """The primary input table (BASELINE.json input_hint schema), from
     parquet/Iceberg-style storage.  'NA' strings → real NULLs on the

@@ -434,3 +434,27 @@ def test_ivf_topk_and_rolling_fingerprint(spark):
     assert fp[0] == fp[2] and fp[0] != fp[1]
     # h('abc') = ((97*31)+98)*31+99 mod p
     assert fp[0] == ((97 * 31 + 98) * 31 + 99) % ((1 << 31) - 1)
+
+
+def test_repetition_stats_gopher_filters(spark):
+    """Hand-computed Gopher repetition measures on a planted document."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    doc = "aa bb\naa bb\ncc dd ee"
+    df = spark.createDataFrame([(1, doc)], "doc_id bigint, text string")
+    r = repetition_stats(df).collect()[0]
+    # 3 lines, 2 distinct -> 1/3 duplicated
+    assert r.dup_line_bp == 3333
+    # 5 of 18 line chars sit in the duplicate occurrence
+    assert r.dup_line_char_bp == 2777
+    # top 2-gram "aa bb" covers 2*5 of 20 text chars
+    assert r.top2gram_char_bp == 5000
+    # degenerate doc: single token, no lines duplicated, no 2-grams
+    r2 = repetition_stats(
+        spark.createDataFrame([(2, "solo")], "doc_id bigint, text string")
+    ).collect()[0]
+    assert (r2.dup_line_bp, r2.dup_line_char_bp, r2.top2gram_char_bp) == (
+        0, 0, 0,
+    )

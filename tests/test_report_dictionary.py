@@ -30,6 +30,31 @@ def test_render_report(spark):
     assert "tp 1" in txt
 
 
+def test_render_report_reference_parity(spark):
+    """Golden check of the 2dp percentage mode (analyze_gold_vrt.py:
+    196-200): breakdown shows round(pct, 2), not the engine's exact
+    basis points."""
+    from memo_fraktur_ocr_code_spark.plans.report import (
+        with_reference_percentage,
+    )
+
+    gold = _df(spark, [("c1", 0, "den gamle Mur og en dag")])
+    base = _df(spark, [("c1", 0, "den gamlc Mur og cn dag")])
+    corr = _df(spark, [("c1", 0, "den gamle Mur og en dag")])
+    rep = evaluate_corrections(spark, gold, base, corr)
+    txt = render_report(rep, param_str(), reference_parity=True)
+    assert "percentage" in txt and "pct_bp" not in txt
+    # 4/6 match = 66.67 the reference way (2dp, not 6666 bp)
+    assert "66.67" in txt
+    # plain mode still exposes the exact bp column
+    plain = render_report(rep, param_str())
+    assert "pct_bp" in plain and "6666" in plain
+    # direct golden check of the derived column
+    bd = with_reference_percentage(rep["base_levcat_breakdown"])
+    vals = {r.levcat: r.percentage for r in bd.collect()}
+    assert vals["match"] == 66.67
+
+
 def test_build_dictionaries_and_text_sink(spark, tmp_path):
     turns = _df(
         spark,

@@ -177,3 +177,59 @@ def test_texton_lines_export(spark, tmp_path):
     out = {r.conv_id: r.token_line for r in spark.read.parquet(p).collect()}
     assert out["c2"] == "en linje"
     assert out["c1"].startswith("den gamle Mur stod fast")
+
+
+def test_wide_vrt_roundtrip(spark, tmp_path):
+    """VRT → long token table → VRT byte-stable (migration path for
+    existing reference wide-VRT data, analyze_gold_vrt.py:156-193)."""
+    from memo_fraktur_ocr_code_spark.sources.readers import (
+        read_wide_vrt,
+        wide_vrt_token_lines,
+    )
+
+    cols = (
+        "token wordnum lineword line page novel_id "
+        "kb_ocrtok kb_leven kb_ratio kb_cer kb_levcat kb_subst "
+        "tess_ocrtok tess_leven tess_ratio tess_cer tess_levcat tess_subst"
+    ).split()
+    tok_lines = [
+        "Den\t1\t1\t1\t1\tnov1\tDen\t0\t1.0\t0.0\tmatch\tsame"
+        "\tDcn\t1\t0.5\t0.33\tlev_1\te2c",
+        "gamle\t2\t2\t1\t1\tnov1\tgamlc\t1\t0.8\t0.2\tlev_1\te2c"
+        "\tgamle\t0\tNA\t0.0\tmatch\tsame",
+        "Mur\t3\t1\t2\t1\tnov1\tMur\t0\t1.0\t0.0\tmatch\tsame"
+        "\tMvr\t1\t0.66\t0.33\tlev_1\tu2v",
+    ]
+    vrt = "\n".join(
+        ["<corpus>", "<text id=\"nov1\">", "<sentence>"]
+        + tok_lines
+        + ["</sentence>", "</text>", "</corpus>"]
+    )
+    path = str(tmp_path / "wide.vrt")
+    with open(path, "w") as f:
+        f.write(vrt)
+
+    # lossless mode: every field a raw string
+    long = read_wide_vrt(spark, path, cols, n_datasets=2, typed=False)
+    assert long.count() == 6  # 3 tokens × 2 sources
+    srcs = {r.src for r in long.select("src").distinct().collect()}
+    assert srcs == {"kb_ocrtok", "tess_ocrtok"}
+
+    back = wide_vrt_token_lines(long, cols, n_datasets=2)
+    got = [
+        r.vrt_line
+        for r in back.orderBy(
+            F.col("line").cast("int"), F.col("lineword").cast("int")
+        ).collect()
+    ]
+    assert got == tok_lines  # byte-stable round trip
+
+    # typed mode: reference dtype map (NA ratio → NULL, int positions)
+    t = read_wide_vrt(spark, path, cols, n_datasets=2, typed=True)
+    row = {
+        (r.src, r.token): r
+        for r in t.collect()
+    }
+    assert row[("tess_ocrtok", "gamle")].ratio is None
+    assert row[("kb_ocrtok", "Den")].ratio == 1.0
+    assert isinstance(row[("kb_ocrtok", "Den")].line, int)

@@ -71,6 +71,25 @@ def main():
         "query set); scores fold JVM-side (zip_with/aggregate inside "
         "codegen); window top-k per query.",
     )
+    add(
+        "SRP-LSH embedding dedup (dedup_embedding_srp)",
+        e.queries()["dedup_embedding_srp"](spark, sf),
+        "Bucket equi-join on the 6-bit SRP signature — no crossJoin in "
+        "the plan; exact cosine verify only on same-bucket pairs.",
+    )
+    add(
+        "Top-N calibration sum (a10_augmented_dict uses top_n_sum)",
+        e.queries()["a10_augmented_dict"](spark, sf),
+        "Distributed top-k: TakeOrderedAndProject feeds the sum — no "
+        "single-partition Window in the plan (VERDICT r1 item 5).",
+    )
+    add(
+        "Gopher repetition filters (repetition_stats)",
+        e.queries()["repetition_stats"](spark, sf),
+        "Line measures are per-row array expressions inside codegen; the "
+        "top-2-gram mode is one hash-aggregate shuffle on (doc, gram) + a "
+        "doc-partitioned window — scales with corpus, never corpus².",
+    )
 
     out = (
         "# Physical plan audits (`.explain('formatted')`, local[4],"

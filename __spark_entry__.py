@@ -1066,6 +1066,10 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
+    """EXACT all-pairs baseline (bits=0, crossJoin) — kept as the ground
+    truth that `dedup_embedding_srp` is measured against; it is NOT the
+    plan to run at scale (the SRP bucket join is, and it is verified
+    end-to-end by its own oracle)."""
     from memo_fraktur_ocr_code_spark.operators.dedup import (
         embedding_cosine_dups,
     )

@@ -44,9 +44,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_srp",
     "sim_ann_cosine",
+    "sim_srp_lsh_topk",
+    "sim_ivf_topk",
     "lang_id",
     "quality_score",
+    "repetition_stats",
     "token_count",
     "fingerprint",
 ]

@@ -177,6 +177,62 @@ def word_correct_text(
     return "\n".join(out_lines)
 
 
+def lookup_candidates(
+    index: SymSpellIndex, word: str, k: int = 5
+) -> list[tuple[int, int, str]]:
+    """ALL dictionary candidates within ``max_edit`` of the lowercased
+    word, as (distance, -count, term) sorted ascending (so [0] is the
+    TOP-verbosity winner) — the candidate set bigram reranking scores."""
+    w = word.lower()
+    out: list[tuple[int, int, str]] = []
+    if w in index.words:
+        out.append((0, -index.words[w], w))
+    seen: set[str] = {w} if w in index.words else set()
+    prefix = w[: index.prefix_len]
+    probes = {prefix}
+    _deletes(prefix, index.max_edit, probes)
+    for probe in probes:
+        for cand in index.index.get(probe, ()):
+            if cand in seen:
+                continue
+            seen.add(cand)
+            if abs(len(cand) - len(w)) > index.max_edit:
+                continue
+            d = osa_distance(w, cand, index.max_edit)
+            if d > index.max_edit or d == 0:
+                continue
+            out.append((d, -index.words[cand], cand))
+    out.sort()
+    return out[:k]
+
+
+def bigram_rerank(
+    prev_token: str | None,
+    candidates: list[tuple[int, int, str]],
+    bigram_counts: dict[tuple[str, str], int],
+) -> str | None:
+    """Context-aware candidate selection: among the edit-distance
+    candidates, prefer the one the (prev_token, candidate) bigram supports
+    most, breaking ties by the TOP order (distance, count desc, term).
+
+    This is the bigram-context scoring stage of the correction pipeline's
+    candidate reranking; with no context (or no bigram hits) it reduces
+    exactly to the TOP lookup, so the default pipeline's byte-equality
+    contract is unaffected unless reranking is explicitly enabled."""
+    if not candidates:
+        return None
+    if prev_token is None:
+        return candidates[0][2]
+    p = prev_token.lower()
+    best = None
+    for rank, (d, negc, term) in enumerate(candidates):
+        hits = bigram_counts.get((p, term), 0)
+        key = (-hits, rank)
+        if best is None or key < best[0]:
+            best = (key, term)
+    return best[1]
+
+
 # ---------------------------------------------------------------------------
 # J8 — compound lookup (alternative line-level path, correct_ocr.py:308-332)
 # ---------------------------------------------------------------------------

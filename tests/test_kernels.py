@@ -163,3 +163,30 @@ def test_false_positive_cancellation_and_pagebreak_guard():
     pb = "___PAGEBREAK___"
     assert get_word_suggestion(pb, idx) == pb
     assert word_correct_text(f"sie mand {pb}", idx) == f"sie mand {pb}"
+
+
+def test_bigram_context_reranking():
+    """Candidate generation + bigram-context reranking: context flips the
+    winner only when the bigram table supports an alternative; with no
+    context it reduces to the TOP lookup."""
+    from memo_fraktur_ocr_code_spark.functions.symspell import (
+        SymSpellIndex,
+        bigram_rerank,
+        lookup_candidates,
+    )
+
+    lex = [("hus", 100), ("hul", 90), ("hud", 80)]
+    idx = SymSpellIndex.from_pairs(lex)
+    cands = lookup_candidates(idx, "hux")
+    # all three are distance 1; TOP order = count desc then term
+    assert [t for _d, _c, t in cands] == ["hus", "hul", "hud"]
+    # no context → TOP winner
+    assert bigram_rerank(None, cands, {}) == "hus"
+    # context bigram flips to the supported candidate
+    bg = {("gammelt", "hud"): 7, ("gammelt", "hus"): 2}
+    assert bigram_rerank("Gammelt", cands, bg) == "hud"
+    # tie on bigram hits → TOP order decides
+    bg2 = {("gammelt", "hud"): 3, ("gammelt", "hus"): 3}
+    assert bigram_rerank("Gammelt", cands, bg2) == "hus"
+    # exact dictionary word is its own 0-distance candidate first
+    assert lookup_candidates(idx, "hus")[0] == (0, -100, "hus")

@@ -150,3 +150,60 @@ def test_symspell_index_equals_bruteforce(lex, query):
     ]
     want = min(cands)[2] if cands else None
     assert got == want
+
+
+# --- pruning-optimization equivalence (round 2) ---------------------------
+# indel_distance gained prefix/suffix stripping and _iter_align gained a
+# length-bound DP skip; both must be OUTPUT-IDENTICAL to the naive forms.
+
+
+def _indel_naive(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = (
+                prev[j - 1] + 1 if ca == b[j - 1] else max(cur[j - 1], prev[j])
+            )
+        prev = cur
+    return la + lb - 2 * prev[lb]
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(words, words)
+def test_indel_distance_matches_naive_dp(a, b):
+    assert indel_distance(a, b) == _indel_naive(a, b)
+
+
+def _iter_align_naive(orig_toks, first_tok, rest):
+    from memo_fraktur_ocr_code_spark.functions.alignment import SPLIT_SEP
+
+    best_sum = 0.0
+    split = [orig_toks[0], SPLIT_SEP.join(orig_toks[1:])]
+    rest_joined = "".join(rest)
+    for i in range(len(orig_toks) + 1):
+        p1, p2 = orig_toks[:i], orig_toks[i:]
+        r1 = indel_ratio("".join(p1), first_tok)
+        r2 = indel_ratio("".join(p2), rest_joined)
+        if r1 == 1 or r2 == 1:
+            return [SPLIT_SEP.join(p1), SPLIT_SEP.join(p2)]
+        if r1 + r2 > best_sum:
+            best_sum = r1 + r2
+            split = [SPLIT_SEP.join(p1), SPLIT_SEP.join(p2)]
+    return split
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    st.lists(words, min_size=1, max_size=6).map(tuple),
+    words,
+    st.lists(words, max_size=4).map(tuple),
+)
+def test_iter_align_pruning_is_output_identical(orig, first, rest):
+    from memo_fraktur_ocr_code_spark.functions.alignment import _iter_align
+
+    assert _iter_align(orig, first, rest) == _iter_align_naive(
+        orig, first, rest
+    )

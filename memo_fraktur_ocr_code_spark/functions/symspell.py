@@ -126,21 +126,36 @@ def transfer_casing(original: str, suggestion: str) -> str:
 
 
 def get_word_suggestion(
-    word: str, index: SymSpellIndex, memo: dict[str, str | None] | None = None
+    word: str,
+    index: SymSpellIndex,
+    memo: dict | None = None,
+    bigram_counts: dict[tuple[str, str], int] | None = None,
+    prev_token: str | None = None,
 ) -> str | None:
     """Per-token correction decision (memoocr/correct_ocr.py:347-375).
 
     Noise tokens → None (caller passes the original through); informative
     punctuation → kept; otherwise SymSpell TOP lookup with casing transfer,
     false-positive cancellation and a PAGEBREAK guard.
+
+    With ``bigram_counts``, the TOP pick is replaced by bigram-context
+    reranking over the full candidate set (``bigram_rerank``): same
+    guards, context-dependent winner.  The memo key then includes the
+    previous token (suggestions are context-dependent in this mode).
     """
     if word in NOISE_TOKENS:
         return None
     if word in KEEP_PUNCT:
         return word
-    if memo is not None and word in memo:
-        return memo[word]
-    top = index.lookup_top(word)
+    key = word if bigram_counts is None else (prev_token, word)
+    if memo is not None and key in memo:
+        return memo[key]
+    if bigram_counts is None:
+        top = index.lookup_top(word)
+    else:
+        top = bigram_rerank(
+            prev_token, lookup_candidates(index, word), bigram_counts
+        )
     if top is not None:
         suggestion = transfer_casing(word, top)
         if (word, suggestion) in FALSE_POSITIVE_PAIRS:
@@ -150,29 +165,38 @@ def get_word_suggestion(
     else:
         suggestion = word
     if memo is not None:
-        memo[word] = suggestion
+        memo[key] = suggestion
     return suggestion
 
 
 def word_correct_text(
-    text: str, index: SymSpellIndex, memo: dict[str, str | None] | None = None
+    text: str,
+    index: SymSpellIndex,
+    memo: dict | None = None,
+    bigram_counts: dict[tuple[str, str], int] | None = None,
 ) -> str:
     """SymSpell word-level correction of a multi-line text
     (memoocr/correct_ocr.py:335-344).
 
     Tokens of length ≤ 1 pass through; output normalizes intra-line
-    whitespace to single spaces (that *is* the spec).
-    """
+    whitespace to single spaces (that *is* the spec).  With
+    ``bigram_counts`` each lookup is reranked by the bigram context of
+    the PREVIOUS CORRECTED token (lowered), reset at line starts —
+    deterministic left-to-right decoding."""
     out_lines = []
     for line in text.splitlines():
         tokens = tokenize(line)
         corrected = []
+        prev: str | None = None
         for t in tokens:
             if len(t) <= 1:
                 corrected.append(t)
-            else:
-                s = get_word_suggestion(t, index, memo)
-                corrected.append(s if s else t)
+                prev = t.lower()
+                continue
+            s = get_word_suggestion(t, index, memo, bigram_counts, prev)
+            out = s if s else t
+            corrected.append(out)
+            prev = out.lower()
         out_lines.append(" ".join(corrected))
     return "\n".join(out_lines)
 

@@ -39,15 +39,18 @@ def broadcast_lexicon(
     return sc.broadcast(index), sc.broadcast(guard)
 
 
-def sym_wordcorrect(df: DataFrame, bc_index) -> DataFrame:
-    """(conv_id, turn_idx, text) → SymSpell-corrected text."""
+def sym_wordcorrect(df: DataFrame, bc_index, bc_bigrams=None) -> DataFrame:
+    """(conv_id, turn_idx, text) → SymSpell-corrected text.  With
+    ``bc_bigrams`` (broadcast {(prev, cand): count}) lookups are reranked
+    by bigram context instead of plain TOP."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index: SymSpellIndex = bc_index.value
+        bgc = bc_bigrams.value if bc_bigrams is not None else None
         memo: dict = {}
         for pdf in batches:
             out = [
-                word_correct_text(t, index, memo)
+                word_correct_text(t, index, memo, bgc)
                 if isinstance(t, str)
                 else t
                 for t in pdf["text"].tolist()

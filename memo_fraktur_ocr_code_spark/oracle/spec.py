@@ -30,6 +30,7 @@ def correct_conversation(
     do_easy: bool = True,
     do_hard: bool = True,
     do_sym: bool = True,
+    bigram_counts: dict | None = None,
 ) -> list[str]:
     """Run the full correction pipeline over one conversation's turns
     (already in stable (turn_idx, ts) order).  Returns per-turn corrected
@@ -47,7 +48,9 @@ def correct_conversation(
         ]
     if do_sym and index is not None:
         memo: dict = {}
-        texts = [word_correct_text(t, index, memo) for t in texts]
+        texts = [
+            word_correct_text(t, index, memo, bigram_counts) for t in texts
+        ]
     return texts
 
 
@@ -67,6 +70,10 @@ def correct_corpus(
     """
     index = SymSpellIndex.from_pairs(lexicon_pairs)
     most_frequent = frozenset(t for t, _c in lexicon_pairs[:top_n_guard])
+    # same kwarg surface as plans.pipeline.correct_pipeline
+    if "bigram_pairs" in flags:
+        bp = flags.pop("bigram_pairs")
+        flags["bigram_counts"] = dict(bp) if bp is not None else None
 
     by_conv: dict[str, list[dict]] = {}
     for row in transcripts:

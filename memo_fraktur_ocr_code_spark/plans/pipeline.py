@@ -43,6 +43,7 @@ def correct_pipeline(
     do_sym: bool = True,
     fused: bool | str = True,
     num_partitions: int | None = None,
+    bigram_pairs: dict | None = None,
 ) -> DataFrame:
     """Returns (conv_id, turn_idx, corrected_text), one row per input turn,
     byte-equal to ``oracle.spec.correct_corpus`` under the stable
@@ -72,14 +73,19 @@ def correct_pipeline(
     if fused is True:
         return _correct_pipeline_partition(
             spark, transcripts, alt_transcripts, lexicon_pairs,
-            do_easy, do_hard, do_sym, num_partitions,
+            do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
         )
     if fused == "cogroup":
         return _correct_pipeline_fused(
             spark, transcripts, alt_transcripts, lexicon_pairs,
-            do_easy, do_hard, do_sym,
+            do_easy, do_hard, do_sym, bigram_pairs,
         )
     bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    bc_bigrams = (
+        spark.sparkContext.broadcast(dict(bigram_pairs))
+        if bigram_pairs is not None
+        else None
+    )
 
     df = assemble_transcripts(transcripts)
     if do_easy:
@@ -88,7 +94,7 @@ def correct_pipeline(
         alt = assemble_transcripts(alt_transcripts)
         df = correct_hard(df, alt, bc_guard)
     if do_sym:
-        df = sym_wordcorrect(df, bc_index)
+        df = sym_wordcorrect(df, bc_index, bc_bigrams)
     return df.select(
         "conv_id", "turn_idx", F.col("text").alias("corrected_text")
     )
@@ -102,8 +108,14 @@ def _correct_pipeline_fused(
     do_easy: bool,
     do_hard: bool,
     do_sym: bool,
+    bigram_pairs: dict | None = None,
 ) -> DataFrame:
     bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    bc_bigrams = (
+        spark.sparkContext.broadcast(dict(bigram_pairs))
+        if bigram_pairs is not None
+        else None
+    )
     use_alt = do_hard and alt_transcripts is not None
 
     def kernel(base_pdf: pd.DataFrame, alt_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -135,8 +147,9 @@ def _correct_pipeline_fused(
             ]
         if do_sym:
             index = bc_index.value
+            bgc = bc_bigrams.value if bc_bigrams is not None else None
             memo: dict = {}
-            texts = [word_correct_text(t, index, memo) for t in texts]
+            texts = [word_correct_text(t, index, memo, bgc) for t in texts]
         return pd.DataFrame(
             {
                 "conv_id": base_pdf["conv_id"].to_numpy(),
@@ -169,6 +182,7 @@ def _correct_pipeline_partition(
     do_hard: bool,
     do_sym: bool,
     num_partitions: int | None = None,
+    bigram_pairs: dict | None = None,
 ) -> DataFrame:
     """Single-shuffle plan: union both channels, hash-repartition by
     conv_id, sort within partitions, process whole partitions in one
@@ -182,6 +196,11 @@ def _correct_pipeline_partition(
     2k-row batches, no per-group pandas construction.
     """
     bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    bc_bigrams = (
+        spark.sparkContext.broadcast(dict(bigram_pairs))
+        if bigram_pairs is not None
+        else None
+    )
     use_alt = do_hard and alt_transcripts is not None
 
     has_ts = "ts" in transcripts.columns
@@ -219,7 +238,7 @@ def _correct_pipeline_partition(
         d = d.select("conv_id", "turn_idx", "text", "side")
 
     def process(
-        pdf: pd.DataFrame, index, mf, memo: dict
+        pdf: pd.DataFrame, index, mf, memo: dict, bgc=None
     ) -> pd.DataFrame:
         conv_out, turn_out, text_out = [], [], []
         convs = pdf["conv_id"].to_numpy()
@@ -262,7 +281,9 @@ def _correct_pipeline_partition(
                     for t, a in zip(texts, alts)
                 ]
             if do_sym:
-                texts = [word_correct_text(t, index, memo) for t in texts]
+                texts = [
+                    word_correct_text(t, index, memo, bgc) for t in texts
+                ]
             conv_out.extend([cid] * len(base_ti))
             turn_out.extend(base_ti)
             text_out.extend(texts)
@@ -280,6 +301,7 @@ def _correct_pipeline_partition(
         # partition scope only raises its hit rate
         index = bc_index.value if do_sym else None
         mf = bc_guard.value if use_alt else None
+        bgc = bc_bigrams.value if bc_bigrams is not None else None
         memo: dict = {}
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -293,8 +315,8 @@ def _correct_pipeline_partition(
             done = pdf.iloc[:boundary]
             carry = pdf.iloc[boundary:]
             if len(done):
-                yield process(done, index, mf, memo)
+                yield process(done, index, mf, memo, bgc)
         if carry is not None and len(carry):
-            yield process(carry, index, mf, memo)
+            yield process(carry, index, mf, memo, bgc)
 
     return d.mapInPandas(kernel, schema=_OUT_SCHEMA)

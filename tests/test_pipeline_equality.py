@@ -113,3 +113,41 @@ def test_pipeline_handles_pathological_skew(spark):
         do_hard=True,
         do_sym=True,
     )
+
+
+@pytest.mark.parametrize(
+    "fused", [True, "cogroup", False], ids=["partition", "cogroup", "staged"]
+)
+def test_bigram_rerank_mode_equality(spark, fused):
+    """Bigram-context reranking mode: Spark output byte-equals the oracle
+    in all three physical plans, and the context actually changes at
+    least one correction vs plain TOP mode."""
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
+    # deterministic bigram table derived from the lexicon's top tokens
+    toks = [t for t, _c in lexicon[:20]]
+    bigrams = {
+        (toks[i], toks[(i + 1) % len(toks)]): 5 + i
+        for i in range(len(toks))
+    }
+    _compare(
+        spark, transcripts, alt_rows, lexicon,
+        fused=fused, bigram_pairs=bigrams,
+    )
+
+
+def test_bigram_context_flips_a_correction(spark):
+    """A crafted lexicon where TOP and bigram-context winners differ."""
+    from memo_fraktur_ocr_code_spark.oracle.spec import correct_conversation
+    from memo_fraktur_ocr_code_spark.functions.symspell import SymSpellIndex
+
+    lex = [("hus", 100), ("hud", 10), ("gammel", 50)]
+    idx = SymSpellIndex.from_pairs(lex)
+    plain = correct_conversation(
+        ["gammel hux"], None, idx, frozenset(), do_hard=False
+    )
+    ctx = correct_conversation(
+        ["gammel hux"], None, idx, frozenset(), do_hard=False,
+        bigram_counts={("gammel", "hud"): 9},
+    )
+    assert plain == ["gammel hus"]  # TOP: highest count wins
+    assert ctx == ["gammel hud"]  # context flips to the supported bigram

@@ -74,6 +74,8 @@ def correct_corpus(
     if "bigram_pairs" in flags:
         bp = flags.pop("bigram_pairs")
         flags["bigram_counts"] = dict(bp) if bp is not None else None
+    # plan-shape knobs with no semantic effect on the spec
+    flags.pop("long_conv_threshold", None)
 
     by_conv: dict[str, list[dict]] = {}
     for row in transcripts:

@@ -44,6 +44,7 @@ def correct_pipeline(
     fused: bool | str = True,
     num_partitions: int | None = None,
     bigram_pairs: dict | None = None,
+    long_conv_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Returns (conv_id, turn_idx, corrected_text), one row per input turn,
     byte-equal to ``oracle.spec.correct_corpus`` under the stable
@@ -62,14 +63,26 @@ def correct_pipeline(
     * ``fused=False``: staged operators (Catalyst regexp chain for easy,
       separate kernels, equi-join for the alt channel) — kept for plan
       inspection and as a cross-check.
+    * ``fused='auto'``: skew router — conversations longer than
+      ``long_conv_threshold`` turns take the staged plan (whose expensive
+      correct_hard/sym stages are per-turn and rebalance freely), the
+      rest take the partition-walk plan; the outputs union.  This removes
+      the one straggler mode of the fused plans (a single 10^8-turn
+      conversation pinning one task) without giving up their per-batch
+      kernel economics for the short tail.  Pathological conversations
+      are few by definition, so the long-id list is a broadcast.
 
     Extreme conversation-length skew: the fused plans process each
     conversation inside one task (assembly's cross-turn dehyphenation is
-    order-dependent).  For pathological conversations (millions of turns)
-    use ``fused=False`` — there only the cheap O(chars) assembly stage is
-    conv-grouped, while correct_hard/sym_wordcorrect are per-turn and
-    rebalance freely across the cluster.
+    order-dependent) — use ``fused='auto'`` (or ``False``) when the conv
+    length distribution has a heavy tail.
     """
+    if fused == "auto":
+        return _correct_pipeline_skew_routed(
+            spark, transcripts, alt_transcripts, lexicon_pairs,
+            do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
+            long_conv_threshold,
+        )
     if fused is True:
         return _correct_pipeline_partition(
             spark, transcripts, alt_transcripts, lexicon_pairs,
@@ -80,6 +93,22 @@ def correct_pipeline(
             spark, transcripts, alt_transcripts, lexicon_pairs,
             do_easy, do_hard, do_sym, bigram_pairs,
         )
+    return _correct_pipeline_staged(
+        spark, transcripts, alt_transcripts, lexicon_pairs,
+        do_easy, do_hard, do_sym, bigram_pairs,
+    )
+
+
+def _correct_pipeline_staged(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alt_transcripts: DataFrame | None,
+    lexicon_pairs,
+    do_easy: bool,
+    do_hard: bool,
+    do_sym: bool,
+    bigram_pairs: dict | None = None,
+) -> DataFrame:
     bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
     bc_bigrams = (
         spark.sparkContext.broadcast(dict(bigram_pairs))
@@ -98,6 +127,48 @@ def correct_pipeline(
     return df.select(
         "conv_id", "turn_idx", F.col("text").alias("corrected_text")
     )
+
+
+def _correct_pipeline_skew_routed(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alt_transcripts: DataFrame | None,
+    lexicon_pairs,
+    do_easy: bool,
+    do_hard: bool,
+    do_sym: bool,
+    num_partitions: int | None,
+    bigram_pairs: dict | None,
+    long_conv_threshold: int,
+) -> DataFrame:
+    """Route each conversation whole to the plan that handles its length:
+    byte-equality is preserved because both plans are byte-equal per
+    conversation and no conversation is split across plans."""
+    long_ids = (
+        transcripts.groupBy("conv_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > long_conv_threshold)
+        .select("conv_id")
+    )
+    t_short = transcripts.join(F.broadcast(long_ids), "conv_id", "left_anti")
+    t_long = transcripts.join(F.broadcast(long_ids), "conv_id", "left_semi")
+    a_short = a_long = None
+    if alt_transcripts is not None:
+        a_short = alt_transcripts.join(
+            F.broadcast(long_ids), "conv_id", "left_anti"
+        )
+        a_long = alt_transcripts.join(
+            F.broadcast(long_ids), "conv_id", "left_semi"
+        )
+    short_out = _correct_pipeline_partition(
+        spark, t_short, a_short, lexicon_pairs,
+        do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
+    )
+    long_out = _correct_pipeline_staged(
+        spark, t_long, a_long, lexicon_pairs,
+        do_easy, do_hard, do_sym, bigram_pairs,
+    )
+    return short_out.unionByName(long_out)
 
 
 def _correct_pipeline_fused(

@@ -151,3 +151,20 @@ def test_bigram_context_flips_a_correction(spark):
     )
     assert plain == ["gammel hus"]  # TOP: highest count wins
     assert ctx == ["gammel hud"]  # context flips to the supported bigram
+
+
+def test_skew_routed_auto_plan_equality(spark):
+    """fused='auto': long conversations route to the staged plan, short
+    ones to the partition plan — union output still byte-equals the
+    oracle for every turn."""
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=5)
+    # threshold below the max conv length so the router actually splits
+    from collections import Counter
+
+    lens = Counter(r["conv_id"] for r in transcripts)
+    thr = sorted(lens.values())[len(lens) // 2]  # median → both routes hit
+    assert min(lens.values()) <= thr < max(lens.values())
+    _compare(
+        spark, transcripts, alt_rows, lexicon,
+        fused="auto", long_conv_threshold=thr,
+    )

@@ -131,6 +131,7 @@ def get_word_suggestion(
     memo: dict | None = None,
     bigram_counts: dict[tuple[str, str], int] | None = None,
     prev_token: str | None = None,
+    overlay: tuple | None = None,
 ) -> str | None:
     """Per-token correction decision (memoocr/correct_ocr.py:347-375).
 
@@ -142,6 +143,9 @@ def get_word_suggestion(
     reranking over the full candidate set (``bigram_rerank``): same
     guards, context-dependent winner.  The memo key then includes the
     previous token (suggestions are context-dependent in this mode).
+    With ``overlay`` ((delta_index, delta_counts), per-conv augmented
+    dictionary), the TOP pick consults the overlaid dictionary — the
+    caller must scope the memo to the conversation in this mode.
     """
     if word in NOISE_TOKENS:
         return None
@@ -150,7 +154,9 @@ def get_word_suggestion(
     key = word if bigram_counts is None else (prev_token, word)
     if memo is not None and key in memo:
         return memo[key]
-    if bigram_counts is None:
+    if overlay is not None:
+        top = overlay_lookup_top(word, index, overlay[0], overlay[1])
+    elif bigram_counts is None:
         top = index.lookup_top(word)
     else:
         top = bigram_rerank(
@@ -174,6 +180,7 @@ def word_correct_text(
     index: SymSpellIndex,
     memo: dict | None = None,
     bigram_counts: dict[tuple[str, str], int] | None = None,
+    overlay: tuple | None = None,
 ) -> str:
     """SymSpell word-level correction of a multi-line text
     (memoocr/correct_ocr.py:335-344).
@@ -193,7 +200,9 @@ def word_correct_text(
                 corrected.append(t)
                 prev = t.lower()
                 continue
-            s = get_word_suggestion(t, index, memo, bigram_counts, prev)
+            s = get_word_suggestion(
+                t, index, memo, bigram_counts, prev, overlay
+            )
             out = s if s else t
             corrected.append(out)
             prev = out.lower()
@@ -202,11 +211,12 @@ def word_correct_text(
 
 
 def lookup_candidates(
-    index: SymSpellIndex, word: str, k: int = 5
+    index: SymSpellIndex, word: str, k: int | None = 5
 ) -> list[tuple[int, int, str]]:
-    """ALL dictionary candidates within ``max_edit`` of the lowercased
-    word, as (distance, -count, term) sorted ascending (so [0] is the
-    TOP-verbosity winner) — the candidate set bigram reranking scores."""
+    """Dictionary candidates within ``max_edit`` of the lowercased word,
+    as (distance, -count, term) sorted ascending (so [0] is the
+    TOP-verbosity winner) — the candidate set bigram reranking and
+    overlay lookup score.  ``k=None`` returns all."""
     w = word.lower()
     out: list[tuple[int, int, str]] = []
     if w in index.words:
@@ -227,7 +237,96 @@ def lookup_candidates(
                 continue
             out.append((d, -index.words[cand], cand))
     out.sort()
-    return out[:k]
+    return out if k is None else out[:k]
+
+
+# ---------------------------------------------------------------------------
+# A10/J6 — per-conversation dictionary augmentation during correction
+# (correct_ocr.py:210-229: production config rebuilds the SymSpell dict
+# per novel via make_novel_augmented_dictionary before word-correcting it)
+# ---------------------------------------------------------------------------
+
+
+def conv_freqlist(texts: list[str]) -> list[tuple[str, int]]:
+    """make_freqlist (correct_ocr.py:259-266) over one conversation's
+    turn texts: pagebreak-stripped, lowercased, tokenized, punctuation
+    dropped, sorted (count desc, token asc) — the same spec as the A1
+    distributed freqlist, in kernel-local form."""
+    from collections import Counter
+
+    from memo_fraktur_ocr_code_spark.functions.textspec import (
+        FREQCOUNT_DROP as _DROP,
+    )
+
+    counts: Counter = Counter()
+    for t in texts:
+        s = t.replace(PAGEBREAK, "").lower()
+        counts.update(
+            tok for tok in tokenize(s) if tok not in _DROP
+        )
+    return sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+
+
+def build_conv_delta(
+    base_words: dict[str, int],
+    conv_freqs: list[tuple[str, int]],
+    lower: int = 2,
+    upper: int = 250,
+) -> tuple["SymSpellIndex", dict[str, int]]:
+    """Per-conversation augmentation delta (make_novel_augmented_
+    dictionary, correct_ocr.py:269-286): scale the conversation's own
+    token counts by the ratio of top-50 sums, clamp on the RAW count,
+    overlay last-wins.
+
+    Returns a small deletion index over ONLY the delta tokens plus the
+    resolved counts — the base index stays immutable/shared, so the
+    per-conv cost is O(conv vocabulary), never a 50k-word index rebuild
+    (the Spark-side answer to the reference reloading the whole
+    dictionary per novel)."""
+    import math as _math
+
+    base_top50 = sum(
+        c for _t, c in sorted(
+            base_words.items(), key=lambda x: (-x[1], x[0])
+        )[:50]
+    )
+    conv_top50 = sum(c for _t, c in conv_freqs[:50])
+    if conv_top50 == 0:
+        return SymSpellIndex({}), {}
+    ratio = base_top50 / conv_top50
+    delta_counts = {
+        t: _math.ceil(c * ratio)
+        for t, c in conv_freqs
+        if lower <= c <= upper
+    }
+    return SymSpellIndex(delta_counts), delta_counts
+
+
+def overlay_lookup_top(
+    word: str,
+    base: SymSpellIndex,
+    delta_index: SymSpellIndex,
+    delta_counts: dict[str, int],
+) -> str | None:
+    """TOP lookup against (base dictionary overlaid with delta, last
+    wins) WITHOUT materializing the merged index: candidates from both
+    indexes, counts resolved delta-first — identical winner to a lookup
+    against the written-out augmented dictionary file."""
+    merged: dict[str, int] = {}
+    for d, _negc, term in lookup_candidates(base, word, k=None):
+        merged[term] = d
+    for d, _negc, term in lookup_candidates(delta_index, word, k=None):
+        if term not in merged or d < merged[term]:
+            merged[term] = d
+    if not merged:
+        return None
+    best = None
+    for term, d in merged.items():
+        cnt = delta_counts.get(term, base.words.get(term, 0))
+        key = (d, -cnt, term)
+        if best is None or key < best:
+            best = key
+    return best[2]
 
 
 def bigram_rerank(

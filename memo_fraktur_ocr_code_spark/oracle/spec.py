@@ -14,6 +14,8 @@ from __future__ import annotations
 from memo_fraktur_ocr_code_spark.functions.alignment import alt_ocr_correct
 from memo_fraktur_ocr_code_spark.functions.symspell import (
     SymSpellIndex,
+    build_conv_delta,
+    conv_freqlist,
     word_correct_text,
 )
 from memo_fraktur_ocr_code_spark.functions.textspec import (
@@ -31,6 +33,7 @@ def correct_conversation(
     do_hard: bool = True,
     do_sym: bool = True,
     bigram_counts: dict | None = None,
+    augment: tuple | None = None,
 ) -> list[str]:
     """Run the full correction pipeline over one conversation's turns
     (already in stable (turn_idx, ts) order).  Returns per-turn corrected
@@ -47,9 +50,15 @@ def correct_conversation(
             for t, a in zip(texts, alt)
         ]
     if do_sym and index is not None:
+        overlay = None
+        if augment is not None:
+            overlay = build_conv_delta(
+                index.words, conv_freqlist(texts), *augment
+            )
         memo: dict = {}
         texts = [
-            word_correct_text(t, index, memo, bigram_counts) for t in texts
+            word_correct_text(t, index, memo, bigram_counts, overlay)
+            for t in texts
         ]
     return texts
 
@@ -76,6 +85,11 @@ def correct_corpus(
         flags["bigram_counts"] = dict(bp) if bp is not None else None
     # plan-shape knobs with no semantic effect on the spec
     flags.pop("long_conv_threshold", None)
+    # same kwarg surface as correct_pipeline for per-conv augmentation
+    if "augment_per_conv" in flags:
+        ap = flags.pop("augment_per_conv")
+        if ap:
+            flags["augment"] = ap if isinstance(ap, tuple) else (2, 250)
 
     by_conv: dict[str, list[dict]] = {}
     for row in transcripts:

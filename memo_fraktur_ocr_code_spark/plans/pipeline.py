@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from memo_fraktur_ocr_code_spark.functions.alignment import alt_ocr_correct
-from memo_fraktur_ocr_code_spark.functions.symspell import word_correct_text
+from memo_fraktur_ocr_code_spark.functions.symspell import (
+    build_conv_delta,
+    conv_freqlist,
+    word_correct_text,
+)
 from memo_fraktur_ocr_code_spark.functions.textspec import (
     assemble_turns,
     correct_easy,
@@ -45,6 +49,7 @@ def correct_pipeline(
     num_partitions: int | None = None,
     bigram_pairs: dict | None = None,
     long_conv_threshold: int = 1_000_000,
+    augment_per_conv: bool | tuple = False,
 ) -> DataFrame:
     """Returns (conv_id, turn_idx, corrected_text), one row per input turn,
     byte-equal to ``oracle.spec.correct_corpus`` under the stable
@@ -77,6 +82,24 @@ def correct_pipeline(
     order-dependent) — use ``fused='auto'`` (or ``False``) when the conv
     length distribution has a heavy tail.
     """
+    augment = None
+    if augment_per_conv:
+        # per-conv augmentation needs a conversation-grouped sym stage
+        if fused not in (True, "cogroup"):
+            raise ValueError(
+                "augment_per_conv requires a conv-grouped plan"
+                " (fused=True or 'cogroup')"
+            )
+        if bigram_pairs is not None:
+            raise ValueError(
+                "augment_per_conv and bigram_pairs are separate rerank"
+                " modes; enable one"
+            )
+        augment = (
+            augment_per_conv
+            if isinstance(augment_per_conv, tuple)
+            else (2, 250)
+        )
     if fused == "auto":
         return _correct_pipeline_skew_routed(
             spark, transcripts, alt_transcripts, lexicon_pairs,
@@ -87,11 +110,12 @@ def correct_pipeline(
         return _correct_pipeline_partition(
             spark, transcripts, alt_transcripts, lexicon_pairs,
             do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
+            augment,
         )
     if fused == "cogroup":
         return _correct_pipeline_fused(
             spark, transcripts, alt_transcripts, lexicon_pairs,
-            do_easy, do_hard, do_sym, bigram_pairs,
+            do_easy, do_hard, do_sym, bigram_pairs, augment,
         )
     return _correct_pipeline_staged(
         spark, transcripts, alt_transcripts, lexicon_pairs,
@@ -180,6 +204,7 @@ def _correct_pipeline_fused(
     do_hard: bool,
     do_sym: bool,
     bigram_pairs: dict | None = None,
+    augment: tuple | None = None,
 ) -> DataFrame:
     bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
     bc_bigrams = (
@@ -219,8 +244,16 @@ def _correct_pipeline_fused(
         if do_sym:
             index = bc_index.value
             bgc = bc_bigrams.value if bc_bigrams is not None else None
+            overlay = None
+            if augment is not None:
+                overlay = build_conv_delta(
+                    index.words, conv_freqlist(texts), *augment
+                )
             memo: dict = {}
-            texts = [word_correct_text(t, index, memo, bgc) for t in texts]
+            texts = [
+                word_correct_text(t, index, memo, bgc, overlay)
+                for t in texts
+            ]
         return pd.DataFrame(
             {
                 "conv_id": base_pdf["conv_id"].to_numpy(),
@@ -254,6 +287,7 @@ def _correct_pipeline_partition(
     do_sym: bool,
     num_partitions: int | None = None,
     bigram_pairs: dict | None = None,
+    augment: tuple | None = None,
 ) -> DataFrame:
     """Single-shuffle plan: union both channels, hash-repartition by
     conv_id, sort within partitions, process whole partitions in one
@@ -352,9 +386,24 @@ def _correct_pipeline_partition(
                     for t, a in zip(texts, alts)
                 ]
             if do_sym:
-                texts = [
-                    word_correct_text(t, index, memo, bgc) for t in texts
-                ]
+                if augment is not None:
+                    # conv-scoped overlay + memo: suggestions depend on
+                    # this conversation's own augmented dictionary
+                    overlay = build_conv_delta(
+                        index.words, conv_freqlist(texts), *augment
+                    )
+                    conv_memo: dict = {}
+                    texts = [
+                        word_correct_text(
+                            t, index, conv_memo, bgc, overlay
+                        )
+                        for t in texts
+                    ]
+                else:
+                    texts = [
+                        word_correct_text(t, index, memo, bgc)
+                        for t in texts
+                    ]
             conv_out.extend([cid] * len(base_ti))
             turn_out.extend(base_ti)
             text_out.extend(texts)

@@ -168,3 +168,56 @@ def test_skew_routed_auto_plan_equality(spark):
         spark, transcripts, alt_rows, lexicon,
         fused="auto", long_conv_threshold=thr,
     )
+
+
+@pytest.mark.parametrize(
+    "fused", [True, "cogroup"], ids=["partition", "cogroup"]
+)
+def test_per_conv_augmentation_equality(spark, fused):
+    """Per-conversation dictionary augmentation (correct_ocr.py:210-229
+    production mode): Spark output byte-equals the oracle in both
+    conv-grouped plans."""
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
+    _compare(
+        spark, transcripts, alt_rows, lexicon,
+        fused=fused, augment_per_conv=(2, 250),
+    )
+
+
+def test_per_conv_augmentation_rescues_conv_word(spark):
+    """A token frequent within its own conversation joins that conv's
+    dictionary and survives correction; the same token in a conversation
+    where it is rare still gets corrected to the global lexicon entry."""
+    from memo_fraktur_ocr_code_spark.oracle.spec import correct_conversation
+    from memo_fraktur_ocr_code_spark.functions.symspell import SymSpellIndex
+
+    lex = [("hus", 100), ("dag", 90), ("mur", 80)]
+    idx = SymSpellIndex.from_pairs(lex)
+    base = dict(lex)
+    # 'hux' appears 3 times in this conv -> augmented in ([2,250] clamp)
+    texts_freq = ["hux dag", "hux mur", "hux dag"]
+    got = correct_conversation(
+        texts_freq, None, idx, frozenset(), do_hard=False,
+        augment=(2, 250),
+    )
+    assert all(t.startswith("hux") for t in got), got
+    # same token appearing once stays below lower=2 -> corrected to 'hus'
+    got_rare = correct_conversation(
+        ["hux dag"], None, idx, frozenset(), do_hard=False,
+        augment=(2, 250),
+    )
+    assert got_rare == ["hus dag"]
+
+
+def test_augment_mode_guards(spark):
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=2)
+    tdf, adf = _to_dfs(spark, transcripts, alt_rows)
+    with pytest.raises(ValueError, match="conv-grouped"):
+        correct_pipeline(
+            spark, tdf, adf, lexicon, fused=False, augment_per_conv=True
+        )
+    with pytest.raises(ValueError, match="rerank"):
+        correct_pipeline(
+            spark, tdf, adf, lexicon, augment_per_conv=True,
+            bigram_pairs={("a", "b"): 1},
+        )

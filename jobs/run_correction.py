@@ -5,10 +5,17 @@ transcripts (and optional alt-channel) table, runs the fused single-
 shuffle correction pipeline, writes corrected turns bucketed by conv
 hash, with per-bucket checkpoint manifests for resume.
 
-Args: <transcripts_path> <lexicon_path> <out_dir> [alt_path]
+Args: <transcripts_path> <lexicon_path> <out_dir> [alt_path] [flags]
 
 ``lexicon_path``: parquet or ``token count`` text (the reference's
 unigram format, correct_ocr.py:208).
+
+Flags (optional, any order after the positional args):
+  --augment-per-conv[=LOWER,UPPER]  per-conversation dictionary
+        augmentation (the reference's production per-novel mode,
+        correct_ocr.py:210-229); default bounds 2,250
+  --auto-skew[=THRESHOLD]  route conversations longer than THRESHOLD
+        turns (default 1000000) to the per-turn staged plan
 """
 
 from __future__ import annotations
@@ -29,8 +36,26 @@ def load_lexicon(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 
 def main(argv: list[str]) -> None:
-    transcripts_path, lexicon_path, out_dir = argv[:3]
-    alt_path = argv[3] if len(argv) > 3 else None
+    pos = [a for a in argv if not a.startswith("--")]
+    opts = [a for a in argv if a.startswith("--")]
+    transcripts_path, lexicon_path, out_dir = pos[:3]
+    alt_path = pos[3] if len(pos) > 3 else None
+    augment: bool | tuple = False
+    fused: bool | str = True
+    threshold = 1_000_000
+    for o in opts:
+        if o.startswith("--augment-per-conv"):
+            augment = (
+                tuple(int(x) for x in o.split("=", 1)[1].split(","))
+                if "=" in o
+                else True
+            )
+        elif o.startswith("--auto-skew"):
+            fused = "auto"
+            if "=" in o:
+                threshold = int(o.split("=", 1)[1])
+        else:
+            raise SystemExit(f"unknown flag: {o}")
 
     spark = SparkSession.builder.appName("memo-correct-turns").getOrCreate()
     from memo_fraktur_ocr_code_spark.plans.checkpoint import (
@@ -44,7 +69,11 @@ def main(argv: list[str]) -> None:
     alt = spark.read.parquet(alt_path) if alt_path else None
     lexicon = load_lexicon(spark, lexicon_path)
 
-    corrected = correct_pipeline(spark, transcripts, alt, lexicon)
+    corrected = correct_pipeline(
+        spark, transcripts, alt, lexicon,
+        fused=fused, long_conv_threshold=threshold,
+        augment_per_conv=augment,
+    )
     summary = run_stage_checkpointed(
         spark,
         corrected,

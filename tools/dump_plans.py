@@ -83,6 +83,23 @@ def main():
         "Distributed top-k: TakeOrderedAndProject feeds the sum — no "
         "single-partition Window in the plan (VERDICT r1 item 5).",
     )
+    def _auto_plan():
+        import __spark_entry__ as entry
+        base, alt, lex = entry.transcripts_from_documents(spark, sf)
+        from memo_fraktur_ocr_code_spark.plans.pipeline import (
+            correct_pipeline,
+        )
+        return correct_pipeline(
+            spark, base, alt, lex, fused="auto", long_conv_threshold=8
+        )
+
+    add(
+        "Skew-routed pipeline (fused='auto')",
+        _auto_plan(),
+        "Union of the partition-walk plan (short conversations) and the "
+        "staged per-turn plan (pathological conversations); long-id list "
+        "is a BroadcastHashJoin on both splits.",
+    )
     add(
         "Gopher repetition filters (repetition_stats)",
         e.queries()["repetition_stats"](spark, sf),

@@ -223,9 +223,12 @@ def _q_a2_bigram(spark, sf_dir):
     )
     pairs = d.select(
         F.explode(
+            # size<2 guard: sequence(1, 0) DESCENDS in Spark, and ts[-1]
+            # is an ANSI array-index error on 1-token docs
             F.expr(
-                "transform(sequence(1, greatest(size(ts)-1, 0)),"
-                " i -> struct(ts[i-1] AS tok1, ts[i] AS tok2))"
+                "CASE WHEN size(ts) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(ts)-1),"
+                " i -> struct(ts[i-1] AS tok1, ts[i] AS tok2)) END"
             )
         ).alias("p")
     ).select("p.tok1", "p.tok2")

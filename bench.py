@@ -168,18 +168,21 @@ def _scaling_run(n: int, lexicon) -> dict:
     try:
         # warm the JVM / Python-worker / Arrow path
         _run_pipeline_count(spark, lexicon, sample_mod=50)
-        # best-of-2: this box is a shared VM with ±20-30% noise from
-        # co-tenants; the fastest run is the least-interfered estimate
-        best = None
+        # best-of-2 (+ adaptive 3rd draw when the first two disagree by
+        # >10% — a disagreement that wide means a co-tenant burst hit one
+        # of them): this box is a shared VM with ±20-30% noise; the
+        # fastest run is the least-interfered estimate
+        draws: list[float] = []
         turns = 0
-        for _ in range(2):
+        for i in range(3):
+            if i == 2 and abs(draws[0] - draws[1]) / min(draws) <= 0.10:
+                break
             t0 = time.time()
             turns = _run_pipeline_count(
                 spark, lexicon, sample_mod=SCALING_SAMPLE_MOD
             )
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
+            draws.append(time.time() - t0)
+        best = min(draws)
         return {
             "cores": n,
             "turns": turns,

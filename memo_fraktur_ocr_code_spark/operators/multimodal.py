@@ -72,6 +72,40 @@ def extract_features(
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame, width: int, height: int, use_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched image resize over a media table: output keeps
+    MEDIA_SCHEMA with updated (width, height) and the re-encoded payload.
+
+    The actual pixel decode/resample is the stubbed step (PIL absent from
+    this container): the deterministic double re-digests the payload with
+    the target dims so downstream plumbing (schemas, batch shapes,
+    dedup-after-resize) is fully testable; swap ``use_stub=False`` for a
+    real PIL kernel in production."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                if use_stub:
+                    payloads.append(
+                        hashlib.md5(
+                            (payload or b"")
+                            + f":{width}x{height}:{kind}".encode()
+                        ).digest()
+                    )
+                else:  # pragma: no cover - real resample path
+                    payloads.append(decode_media(payload, kind))
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, duration_ms) into
     frame timestamps JVM-side (sequence+explode); the decode of each frame

@@ -330,6 +330,18 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     ts = sorted(r.frame_ts_ms for r in frames if r.media_id == 2)
     assert ts == [0, 1000, 2000]
+    # resize keeps MEDIA_SCHEMA, updates dims, re-derives payload
+    from memo_fraktur_ocr_code_spark.operators.multimodal import resize_media
+
+    resized = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    assert (resized[1].width, resized[1].height) == (8, 8)
+    assert resized[1].payload != bytes(b"abc")  # stub re-digest
+    assert resized[1].codec == "raw"  # metadata passthrough
+    again = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    assert resized[1].payload == again[1].payload  # deterministic
+    # composable: features over resized media still flow
+    f = extract_features(resize_media(media, 8, 8), dim=4).collect()
+    assert len(f) == 2
 
 
 def test_embedding_cosine_dups_exact_and_lsh(spark):

@@ -207,3 +207,29 @@ def test_iter_align_pruning_is_output_identical(orig, first, rest):
     assert _iter_align(orig, first, rest) == _iter_align_naive(
         orig, first, rest
     )
+
+
+# --- overlay lookup ≡ merged-index lookup ----------------------------------
+# The per-conv augmentation avoids rebuilding the 50k-word deletion index
+# by consulting (base, delta) separately; this pins that shortcut to the
+# ground truth: a full index built over the overlaid dictionary.
+
+
+@settings(max_examples=150, deadline=None, derandomize=True)
+@given(
+    st.dictionaries(words.filter(bool), st.integers(1, 1000), max_size=12),
+    st.dictionaries(words.filter(bool), st.integers(1, 1000), max_size=6),
+    words.filter(bool),
+)
+def test_overlay_lookup_equals_merged_index(base_d, delta_d, query):
+    from memo_fraktur_ocr_code_spark.functions.symspell import (
+        SymSpellIndex,
+        overlay_lookup_top,
+    )
+
+    base = SymSpellIndex(base_d)
+    delta = SymSpellIndex(delta_d)
+    merged = SymSpellIndex({**base_d, **delta_d})  # overlay last-wins
+    got = overlay_lookup_top(query, base, delta, delta_d)
+    want = merged.lookup_top(query)
+    assert got == want, (base_d, delta_d, query, got, want)

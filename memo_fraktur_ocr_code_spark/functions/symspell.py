@@ -312,6 +312,13 @@ def overlay_lookup_top(
     wins) WITHOUT materializing the merged index: candidates from both
     indexes, counts resolved delta-first — identical winner to a lookup
     against the written-out augmented dictionary file."""
+    w = word.lower()
+    # d=0 short-circuit (same as SymSpellIndex.lookup_top): only the word
+    # itself can sit at distance 0, and distance dominates the TOP order —
+    # this is the hot path, since every conv token with freq≥lower is in
+    # the delta by construction
+    if w in delta_counts or w in base.words:
+        return w
     merged: dict[str, int] = {}
     for d, _negc, term in lookup_candidates(base, word, k=None):
         merged[term] = d

@@ -1659,6 +1659,84 @@ def _q_pipeline_correct_turns(spark, sf_dir):
     return _run_pipeline(spark, sf_dir)
 
 
+def _q_pipeline_assembly_easy(spark, sf_dir):
+    """The flagship pipeline's assembly + easy-normalization core
+    (S2+W3+E2+F3+F4+E1 composed: line filters, cross-turn and cross-line
+    dehyphenation, regex normalization), oracle-verified — DuckDB
+    replicates the two-pass pilcrow-sentinel dehyphenation exactly.  Only
+    the alignment/SymSpell stages stay SQL-inexpressible."""
+    base, _alt, lexicon = transcripts_from_documents(spark, sf_dir)
+    from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+
+    return correct_pipeline(
+        spark, base, None, lexicon, do_hard=False, do_sym=False
+    ).orderBy("conv_id", "turn_idx")
+
+
+_DEHYPH_SQL_PAT = (
+    r"([\p{L}\p{N}_]+)[\x{00ad}⸗—-]+[\n\r\f]*[\s]*¶[\s]*([^\s]+)[\s]*"
+)
+
+_SQL_PIPELINE_ASSEMBLY_EASY = f"""
+WITH turns AS (
+  SELECT 'conv' || doc_id AS conv_id, ti AS turn_idx,
+         replace(replace(replace(replace(
+           array_to_string((string_split(text, ' '))[ti*per+1 : ti*per+per],
+                           ' '),
+           'a', 'œ'), 's', 'ſ'), ' filter ', ' fil-' || chr(10) || 'ter '),
+           ' scan ', ' ' || chr(10) || ' scan ') AS text
+  FROM (SELECT doc_id, text,
+               greatest(CAST(floor(len(string_split(text, ' ')) / 4.0)
+                             AS INT), 1) AS per
+        FROM documents)
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS ti)
+  WHERE array_to_string((string_split(text, ' '))[ti*per+1 : ti*per+per],
+                        ' ') <> ''),
+cleaned AS (
+  SELECT conv_id, turn_idx,
+         array_to_string(
+           list_filter(
+             string_split(regexp_replace(text, '^\\x{{feff}}', ''),
+                          chr(10)),
+             (x, i) -> NOT regexp_matches(x, '^[\\s]*$')
+                   AND NOT (i = 1 AND regexp_matches(x,
+                       '^[\\s]*[\\p{{L}}\\p{{N}}_]{{1,3}}[\\s]*$'))),
+           chr(10)) AS text
+  FROM turns),
+conv1 AS (
+  SELECT conv_id,
+         regexp_replace(
+           string_agg(replace(text, '¶', '___PILCROW___'),
+                      '¶' ORDER BY turn_idx),
+           '{_DEHYPH_SQL_PAT}', '\\1\\2¶', 'g') AS joined,
+         list(turn_idx ORDER BY turn_idx) AS tis
+  FROM cleaned GROUP BY conv_id),
+conv2 AS (
+  SELECT conv_id, tis,
+         replace(replace(
+           regexp_replace(
+             replace(replace(
+               array_to_string(
+                 list_transform(string_split(joined, '¶'),
+                                x -> replace(x, '___PILCROW___', '¶')),
+                 ' ___PAGEBREAK___ '),
+               '¶', '___PILCROW___'), chr(10), '¶'),
+             '{_DEHYPH_SQL_PAT}', '\\1\\2¶', 'g'),
+           '¶', chr(10)), '___PILCROW___', '¶') AS joined2
+  FROM conv1),
+out AS (
+  SELECT conv_id,
+         unnest(tis) AS turn_idx,
+         unnest(regexp_split_to_array(joined2, ' ?___PAGEBREAK___ ?')) AS t
+  FROM conv2)
+SELECT conv_id, turn_idx,
+       replace(replace(replace(replace(replace(replace(replace(
+         t, 'ſ', 's'), ',&', ', &'), 'œæ', 'æ'), 'æœ', 'æ'),
+         'œe', 'æ'), 'eœ', 'æ'), 'œ', 'æ') AS corrected_text
+FROM out ORDER BY conv_id, turn_idx
+"""
+
+
 def _q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH with exact-Jaccard verification of candidates — the
     production shape (LSH prunes, exact verifies).  With 16 bands × 2 rows
@@ -1871,9 +1949,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "sim_srp_lsh_topk": _q_srp_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
-        # rows-only (no SQL oracle: the per-turn alignment/correction
-        # kernels are not SQL-expressible — covered by the byte-equality
-        # pipeline contract instead)
+        "pipeline_assembly_easy": _q_pipeline_assembly_easy,
+        # rows-only (no SQL oracle: the alignment/SymSpell stages are not
+        # SQL-expressible — covered by the byte-equality pipeline
+        # contract; the assembly+easy core IS verified above)
         "pipeline_correct_turns": _q_pipeline_correct_turns,
     }
 
@@ -1927,4 +2006,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),
         "sim_ivf_topk": _sql_ivf_topk(),
+        "pipeline_assembly_easy": _SQL_PIPELINE_ASSEMBLY_EASY,
     }

@@ -394,6 +394,116 @@ FROM t2
 """
 
 
+def _q_s9_vrt_lines(spark, sf_dir):
+    """S9 — the VRT sink's positional-attribute line format
+    (make_corpus_vrt.py:68), verified value-exact: the oracle rebuilds
+    ``token\\tword_idx\\tword_on_line\\tline_idx\\tturn_idx\\tconv_id``
+    from the same token enumeration."""
+    from memo_fraktur_ocr_code_spark.sources.sinks import vrt_lines
+
+    toks = _q_w1_token_enum(spark, sf_dir).select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "token",
+        "word_idx",
+        "word_on_line",
+        "line_idx",
+    )
+    return vrt_lines(toks).select(
+        "conv_id", "turn_idx", "word_idx", "vrt_line"
+    ).orderBy("conv_id", "word_idx")
+
+
+_SQL_S9 = f"""
+WITH t AS ({{w1}}),
+v AS (
+  SELECT 'conv' || doc_id AS conv_id, 0 AS turn_idx, word_idx,
+         token || chr(9) || word_idx || chr(9) || word_on_line || chr(9)
+               || line_idx || chr(9) || '0' || chr(9) || 'conv' || doc_id
+           AS vrt_line
+  FROM t)
+SELECT conv_id, turn_idx, word_idx, vrt_line FROM v
+ORDER BY conv_id, word_idx
+"""
+
+
+def _q_texton_lines(spark, sf_dir):
+    """vrt2texton export (vrt2texton_tokens.py): one space-joined token
+    line per conversation, in-aggregate sorted — verified against an
+    ordered string_agg."""
+    from memo_fraktur_ocr_code_spark.sources.sinks import texton_lines
+
+    toks = _q_w1_token_enum(spark, sf_dir).select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "word_idx",
+        "token",
+    )
+    return texton_lines(toks).orderBy("conv_id")
+
+
+_SQL_TEXTON = f"""
+WITH t AS ({{w1}})
+SELECT 'conv' || doc_id AS conv_id,
+       string_agg(token, ' ' ORDER BY word_idx) AS token_line
+FROM t GROUP BY doc_id ORDER BY conv_id
+"""
+
+
+def _q_j3_conll_join(spark, sf_dir):
+    """J3 — CONLL annotation join, fast path (positional equi-join with
+    the reference's repair rules: missing rows → NULL annotations,
+    token mismatches → '_' dummies, align_ocr.py:292-324).  The CONLL
+    side is synthesized deterministically with planted gaps (every 3rd
+    word) and drifts (every 5th word) so both repair rules fire."""
+    from memo_fraktur_ocr_code_spark.operators.conll import join_conll_fast
+
+    toks = _q_w1_token_enum(spark, sf_dir).select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        "word_idx",
+        "token",
+    )
+    conll = toks.where(F.col("word_idx") % 3 != 0).select(
+        "conv_id",
+        "word_idx",
+        F.when(
+            F.col("word_idx") % 5 == 0, F.concat(F.col("token"), F.lit("X"))
+        )
+        .otherwise(F.col("token"))
+        .alias("token"),
+        (F.col("word_idx") % 7).cast("string").alias("sent_word_num"),
+        F.lower("token").alias("lemma"),
+        F.concat(F.lit("N"), (F.col("word_idx") % 4).cast("string")).alias(
+            "pos"
+        ),
+    )
+    return join_conll_fast(toks, conll).orderBy("conv_id", "word_idx")
+
+
+_SQL_J3 = """
+WITH t AS ({w1}),
+toks AS (SELECT 'conv' || doc_id AS conv_id, word_idx, token FROM t),
+conll AS (
+  SELECT conv_id, word_idx,
+         CASE WHEN word_idx % 5 = 0 THEN token || 'X' ELSE token END
+           AS conll_token,
+         CAST(word_idx % 7 AS VARCHAR) AS sent_word_num,
+         lower(token) AS lemma,
+         'N' || CAST(word_idx % 4 AS VARCHAR) AS pos
+  FROM toks WHERE word_idx % 3 <> 0)
+SELECT k.conv_id, k.word_idx, k.token,
+       CASE WHEN c.conll_token IS NOT NULL AND c.conll_token <> k.token
+            THEN '_' ELSE c.sent_word_num END AS sent_word_num,
+       CASE WHEN c.conll_token IS NOT NULL AND c.conll_token <> k.token
+            THEN '_' ELSE c.lemma END AS lemma,
+       CASE WHEN c.conll_token IS NOT NULL AND c.conll_token <> k.token
+            THEN '_' ELSE c.pos END AS pos
+FROM toks k
+LEFT JOIN conll c ON c.conv_id = k.conv_id AND c.word_idx = k.word_idx
+ORDER BY k.conv_id, k.word_idx
+"""
+
+
 def _q_w2_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1910,6 +2020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_final_token_trim": _q_f7_final_token_trim,
         # §2.6 windows / sequences
         "w1_token_enum": _q_w1_token_enum,
+        "s9_vrt_lines": _q_s9_vrt_lines,
+        "j3_conll_join": _q_j3_conll_join,
+        "texton_lines": _q_texton_lines,
         "w2_sessionize": _q_w2_sessionize,
         "w3_cross_chunk_hyphen": _q_w3_cross_chunk_hyphen,
         "w4_chunk_key": _q_w4_chunk_key,
@@ -1968,6 +2081,9 @@ def oracle_sql() -> dict[str, str]:
         "f2_date_filter": _SQL_F2,
         "f3_clean_lines": _SQL_F3,
         "w1_token_enum": _SQL_W1,
+        "s9_vrt_lines": _SQL_S9.format(w1=_SQL_W1),
+        "j3_conll_join": _SQL_J3.format(w1=_SQL_W1),
+        "texton_lines": _SQL_TEXTON.format(w1=_SQL_W1),
         "w2_sessionize": _SQL_W2,
         "w3_cross_chunk_hyphen": _SQL_W3,
         "a1_unigram_freq": _SQL_A1,

@@ -112,22 +112,21 @@ def write_single_line(df: DataFrame, path: str, text_col: str = "corrected_text"
     )
 
 
-def write_texton_lines(tokens: DataFrame, path: str) -> None:
-    """Text-Tonsorium export (vrt2texton_tokens.py): each conversation's
-    tokens as one space-joined line, one row per conversation — grouped
-    concat, distributed write."""
-    (
-        tokens.groupBy("conv_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("turn_idx", "word_idx", "token")
-                    )
-                ).getField("token"),
-            ).alias("token_line")
-        )
-        .write.mode("overwrite")
-        .parquet(path)
+def texton_lines(tokens: DataFrame) -> DataFrame:
+    """Text-Tonsorium export projection (vrt2texton_tokens.py): each
+    conversation's tokens as one space-joined line, one row per
+    conversation — grouped concat with an in-aggregate sort, never a
+    driver collect."""
+    return tokens.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "word_idx", "token"))
+            ).getField("token"),
+        ).alias("token_line")
     )
+
+
+def write_texton_lines(tokens: DataFrame, path: str) -> None:
+    """Distributed write of the Text-Tonsorium export."""
+    texton_lines(tokens).write.mode("overwrite").parquet(path)

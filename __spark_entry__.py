@@ -450,6 +450,73 @@ FROM t GROUP BY doc_id ORDER BY conv_id
 """
 
 
+def _q_w5_year_rollup(spark, sf_dir):
+    """W5 — year grouping (make_year_vrts.py): documents joined to a
+    deterministic year-metadata table, rolled up per year — the grouping
+    the year-partitioned sink writes."""
+    d = _t(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id", (1870 + F.col("doc_id") % 30).alias("year")
+    )
+    return (
+        d.join(F.broadcast(meta), "doc_id")
+        .groupBy("year")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("year")
+    )
+
+
+_SQL_W5 = """
+SELECT 1870 + doc_id % 30 AS year, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY 1 ORDER BY year
+"""
+
+
+def _q_u2_index_intersection(spark, sf_dir):
+    """U2 — index-set intersection (alignment.py cancellation sets): per
+    document, the sorted intersection of two derived position sets, as
+    JVM array ops (array_intersect/array_sort), rendered to a scalar."""
+    toks = _q_w1_token_enum(spark, sf_dir)
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("token").contains("a"), F.col("word_idx"))
+            )
+        ).alias("set_a"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("token").contains("e"), F.col("word_idx"))
+            )
+        ).alias("set_e"),
+    )
+    return sets.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_intersect("set_a", "set_e")), ","
+        ).alias("common_idx"),
+    ).orderBy("doc_id")
+
+
+_SQL_U2 = """
+WITH t AS ({w1}),
+s AS (
+  SELECT doc_id,
+         coalesce(list_sort(list(word_idx) FILTER (token LIKE '%a%')),
+                  []) AS set_a,
+         coalesce(list_sort(list(word_idx) FILTER (token LIKE '%e%')),
+                  []) AS set_e
+  FROM t GROUP BY doc_id)
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_intersect(set_a, set_e)),
+                                ','), '') AS common_idx
+FROM s ORDER BY doc_id
+"""
+
+
 def _q_j3_conll_join(spark, sf_dir):
     """J3 — CONLL annotation join, fast path (positional equi-join with
     the reference's repair rules: missing rows → NULL annotations,
@@ -2022,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_token_enum": _q_w1_token_enum,
         "s9_vrt_lines": _q_s9_vrt_lines,
         "j3_conll_join": _q_j3_conll_join,
+        "w5_year_rollup": _q_w5_year_rollup,
+        "u2_index_intersection": _q_u2_index_intersection,
         "texton_lines": _q_texton_lines,
         "w2_sessionize": _q_w2_sessionize,
         "w3_cross_chunk_hyphen": _q_w3_cross_chunk_hyphen,
@@ -2083,6 +2152,8 @@ def oracle_sql() -> dict[str, str]:
         "w1_token_enum": _SQL_W1,
         "s9_vrt_lines": _SQL_S9.format(w1=_SQL_W1),
         "j3_conll_join": _SQL_J3.format(w1=_SQL_W1),
+        "w5_year_rollup": _SQL_W5,
+        "u2_index_intersection": _SQL_U2.format(w1=_SQL_W1),
         "texton_lines": _SQL_TEXTON.format(w1=_SQL_W1),
         "w2_sessionize": _SQL_W2,
         "w3_cross_chunk_hyphen": _SQL_W3,

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from memo_fraktur_ocr_code_spark.operators import aggregates as agg_ops
 from memo_fraktur_ocr_code_spark.operators import similarity as sim_ops
 from memo_fraktur_ocr_code_spark.operators import textstats as ts_ops
-from memo_fraktur_ocr_code_spark.operators.annotate import tokenize_col
 
 # ---------------------------------------------------------------------------
 # helpers

@@ -12,17 +12,19 @@ O(n²) cross join at scale:
                    no cross join).
 * MinHash + LSH  — shingle → k permuted min-hashes → band buckets →
                    bucket equi-join for candidates → exact verify.
-* SimHash        — 64-bit weighted-bit signature; Hamming-adjacent
-                   candidates via 4×16-bit block buckets (Charikar 2002 /
+* SimHash        — 60-bit weighted-bit signature; Hamming-adjacent
+                   candidates via 4×15-bit block buckets (Charikar 2002 /
                    pigeonhole: dist ≤3 ⇒ one block equal).
 
-All hashing is Spark-native ``xxhash64`` (JVM, codegen) — deterministic
+Hashing is JVM-side codegen throughout: ``xxhash64`` for shingles and
+minhash permutations, md5-derived 60-bit values for simhash tokens (so a
+SQL oracle can recompute the signatures bit for bit) — deterministic
 across runs and executors.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Fixed odd LCG multipliers for MinHash permutations (seeded,

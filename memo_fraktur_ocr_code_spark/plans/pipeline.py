@@ -132,13 +132,21 @@ def _correct_pipeline_staged(
     do_hard: bool,
     do_sym: bool,
     bigram_pairs: dict | None = None,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
-    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
-    bc_bigrams = (
-        spark.sparkContext.broadcast(dict(bigram_pairs))
-        if bigram_pairs is not None
-        else None
-    )
+    # `prebuilt` = (bc_index, bc_guard, bc_bigrams): the skew router
+    # builds/broadcasts the lexicon ONCE and shares it across both
+    # branches (a second driver-side SymSpellIndex build + broadcast per
+    # plan is pure overhead)
+    if prebuilt is not None:
+        bc_index, bc_guard, bc_bigrams = prebuilt
+    else:
+        bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+        bc_bigrams = (
+            spark.sparkContext.broadcast(dict(bigram_pairs))
+            if bigram_pairs is not None
+            else None
+        )
 
     df = assemble_transcripts(transcripts)
     if do_easy:
@@ -168,6 +176,13 @@ def _correct_pipeline_skew_routed(
     """Route each conversation whole to the plan that handles its length:
     byte-equality is preserved because both plans are byte-equal per
     conversation and no conversation is split across plans."""
+    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    bc_bigrams = (
+        spark.sparkContext.broadcast(dict(bigram_pairs))
+        if bigram_pairs is not None
+        else None
+    )
+    prebuilt = (bc_index, bc_guard, bc_bigrams)
     long_ids = (
         transcripts.groupBy("conv_id")
         .agg(F.count("*").alias("_n"))
@@ -187,10 +202,12 @@ def _correct_pipeline_skew_routed(
     short_out = _correct_pipeline_partition(
         spark, t_short, a_short, lexicon_pairs,
         do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
+        prebuilt=prebuilt,
     )
     long_out = _correct_pipeline_staged(
         spark, t_long, a_long, lexicon_pairs,
         do_easy, do_hard, do_sym, bigram_pairs,
+        prebuilt=prebuilt,
     )
     return short_out.unionByName(long_out)
 
@@ -247,7 +264,8 @@ def _correct_pipeline_fused(
             overlay = None
             if augment is not None:
                 overlay = build_conv_delta(
-                    index.words, conv_freqlist(texts), *augment
+                    index.words, conv_freqlist(texts), *augment,
+                    base_top50=index.top50_sum,
                 )
             memo: dict = {}
             texts = [
@@ -288,6 +306,7 @@ def _correct_pipeline_partition(
     num_partitions: int | None = None,
     bigram_pairs: dict | None = None,
     augment: tuple | None = None,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """Single-shuffle plan: union both channels, hash-repartition by
     conv_id, sort within partitions, process whole partitions in one
@@ -300,12 +319,15 @@ def _correct_pipeline_partition(
     shuffle size = inputs once, kernel overhead amortized over full
     2k-row batches, no per-group pandas construction.
     """
-    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
-    bc_bigrams = (
-        spark.sparkContext.broadcast(dict(bigram_pairs))
-        if bigram_pairs is not None
-        else None
-    )
+    if prebuilt is not None:
+        bc_index, bc_guard, bc_bigrams = prebuilt
+    else:
+        bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+        bc_bigrams = (
+            spark.sparkContext.broadcast(dict(bigram_pairs))
+            if bigram_pairs is not None
+            else None
+        )
     use_alt = do_hard and alt_transcripts is not None
 
     has_ts = "ts" in transcripts.columns
@@ -390,7 +412,8 @@ def _correct_pipeline_partition(
                     # conv-scoped overlay + memo: suggestions depend on
                     # this conversation's own augmented dictionary
                     overlay = build_conv_delta(
-                        index.words, conv_freqlist(texts), *augment
+                        index.words, conv_freqlist(texts), *augment,
+                        base_top50=index.top50_sum,
                     )
                     conv_memo: dict = {}
                     texts = [

@@ -227,3 +227,61 @@ def test_checkpoint_partial_resume_no_duplicates(spark, tmp_path):
     assert summary["buckets_skipped"] == len(half)
     total = spark.read.parquet(f"{out}/stage1").count()
     assert total == len(transcripts)  # complete, no duplicates
+
+
+def test_cli_resume_flag_end_to_end(spark, tmp_path):
+    """jobs/run_correction.py --resume (VERDICT r2 item 9): a run killed
+    after some bucket-commits resumes without recomputing or duplicating
+    them, and a non-resume rerun into the same out_dir is refused."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_correction import main
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+        completed_buckets,
+        with_bucket,
+    )
+
+    transcripts, _alt, lexicon = make_fixture(n_convs=6)
+    df = spark.createDataFrame(
+        [
+            (r["conv_id"], r["turn_idx"], r["text"], r["ts"])
+            for r in transcripts
+        ],
+        "conv_id string, turn_idx int, text string, ts timestamp",
+    )
+    full_path = str(tmp_path / "full.parquet")
+    part_path = str(tmp_path / "part.parquet")
+    lex_path = str(tmp_path / "lex.parquet")
+    out = str(tmp_path / "out")
+    df.write.parquet(full_path)
+    spark.createDataFrame(lexicon, "token string, freq bigint").write.parquet(
+        lex_path
+    )
+    # "killed mid-run": the first K bucket-commits landed (the CLI's
+    # bucket granularity), i.e. only the convs of half the buckets
+    bucketed = with_bucket(df, n_buckets=1024)
+    buckets = sorted(
+        r["_bucket"] for r in bucketed.select("_bucket").distinct().collect()
+    )
+    half = buckets[: len(buckets) // 2]
+    df.join(
+        bucketed.where(F.col("_bucket").isin(half))
+        .select("conv_id")
+        .distinct(),
+        "conv_id",
+    ).write.parquet(part_path)
+    main([part_path, lex_path, out])
+    done_after_kill = completed_buckets(spark, out, "corrected_turns")
+    assert set(done_after_kill) == set(half)
+
+    # a fresh (non-resume) run into the same out_dir is refused
+    with pytest.raises(SystemExit, match="--resume"):
+        main([full_path, lex_path, out])
+
+    # --resume completes exactly the missing buckets
+    main([full_path, lex_path, out, "--resume"])
+    got = spark.read.parquet(f"{out}/corrected_turns")
+    assert got.count() == len(transcripts)  # complete, no duplicates
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(
+        transcripts
+    )

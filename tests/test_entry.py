@@ -17,13 +17,16 @@ def test_entry_smoke(spark):
 
 def test_queries_and_oracles_aligned(spark):
     qs = entrymod.queries()
+    extras = entrymod.extra_queries()
     oracles = entrymod.oracle_sql()
-    assert set(oracles) <= set(qs)
-    # every oracle-verified query documents a SURVEY §2 operator id prefix
+    # every oracle belongs to a registered query (driver window or extra)
+    assert set(oracles) <= set(qs) | set(extras)
+    # every extra is oracle-verified (the rotation loses no coverage)
+    assert set(extras) <= set(oracles)
     assert len(oracles) >= 25
     # rows-only entries are the genuinely non-SQL-expressible ops
     rows_only = set(qs) - set(oracles)
-    assert "pipeline_correct_turns" in rows_only
+    assert rows_only == {"pipeline_correct_turns"}
 
 
 def test_sample_query_runs(spark):

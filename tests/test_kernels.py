@@ -190,3 +190,27 @@ def test_bigram_context_reranking():
     assert bigram_rerank("Gammelt", cands, bg2) == "hus"
     # exact dictionary word is its own 0-distance candidate first
     assert lookup_candidates(idx, "hus")[0] == (0, -100, "hus")
+
+
+def test_bigram_mode_never_rewrites_exact_dictionary_words():
+    """ADVICE r2 (medium): an in-dictionary token must survive bigram
+    reranking unchanged — context may only choose among corrections of a
+    MISSPELLED token, never rewrite a valid one ('hus' after 'gammel'
+    stays 'hus' even when ('gammel','hud') dominates the bigram table)."""
+    from memo_fraktur_ocr_code_spark.functions.symspell import (
+        SymSpellIndex,
+        get_word_suggestion,
+        word_correct_text,
+    )
+
+    idx = SymSpellIndex.from_pairs([("hus", 100), ("hud", 80), ("gammel", 50)])
+    bg = {("gammel", "hud"): 99, ("gammel", "hus"): 0}
+    assert get_word_suggestion("hus", idx, None, bg, "gammel") == "hus"
+    # casing preserved through the short-circuit
+    assert get_word_suggestion("Hus", idx, None, bg, "gammel") == "Hus"
+    # misspelled token: context still reranks
+    assert get_word_suggestion("hux", idx, None, bg, "gammel") == "hud"
+    # end-to-end through the line kernel
+    assert (
+        word_correct_text("gammel hus", idx, None, bg) == "gammel hus"
+    )

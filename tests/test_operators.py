@@ -470,3 +470,126 @@ def test_repetition_stats_gopher_filters(spark):
     assert (r2.dup_line_bp, r2.dup_line_char_bp, r2.top2gram_char_bp) == (
         0, 0, 0,
     )
+
+
+def test_repetition_top2gram_ranks_by_count_not_coverage(spark):
+    """Gopher §A1.1 says the MOST FREQUENT 2-gram (ADVICE r2): a longer
+    but rarer gram must not outrank a shorter more-frequent one."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    # "x y" appears twice (covered 2*3=6); "longword1 longword2" once
+    # (covered 19) — cnt-ranking picks "x y", coverage-ranking would not
+    doc = "x y x y longword1 longword2"
+    r = repetition_stats(
+        spark.createDataFrame([(1, doc)], "doc_id bigint, text string")
+    ).collect()[0]
+    assert r.top2gram_char_bp == 6 * 10000 // len(doc)
+
+
+def test_minhash_prefilter_preserves_output_and_subset_bound(spark):
+    """VERDICT r2 item 6 + ADVICE r2: the signature-estimate pre-filter
+    must not change the verified output on the fixture, and the LSH
+    output is a SUBSET of the from-scratch exact-Jaccard join (equality
+    holds up to the documented recall bounds)."""
+    with_pf = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), threshold=0.9, num_hashes=32, bands=16,
+            verify="exact", prefilter_margin=0.3,
+        ).collect()
+    }
+    no_pf = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            _docs(spark), threshold=0.9, num_hashes=32, bands=16,
+            verify="exact", prefilter_margin=None,
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.9).collect()
+    }
+    assert with_pf == no_pf
+    assert with_pf <= full  # never a false positive
+    assert (0, 1) in with_pf  # exact dups always survive
+
+
+def test_srp_multiband_recall_at_least_single_band(spark):
+    """VERDICT r2 item 5: banding ORs candidates across bands, so
+    multi-band recall vs the exact top-k is >= the single-bucket recall
+    of the same total signature, and both contain the identical vector."""
+    emb = _embs(spark)
+    q = emb.where(F.col("vec_id") < 4)
+    corpus = emb
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(corpus, q, k=3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(corpus, q, dim=8, k=3, bits=8, bands=1).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_lsh_topk(corpus, q, dim=8, k=3, bits=8, bands=4).collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single
+    # every query finds itself (identical vector matches every band)
+    for i in range(4):
+        assert (i, i) in multi
+
+
+def test_embedding_cosine_dups_multiband(spark):
+    """bands>1 on the dedup SRP path: multi-band candidates are a
+    superset of single-band, still subset of exact, duplicates collapse."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    emb = _embs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(emb, threshold=0.9).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(
+            emb, threshold=0.9, dim=8, bits=8, bands=1
+        ).collect()
+    }
+    multi_rows = embedding_cosine_dups(
+        emb, threshold=0.9, dim=8, bits=8, bands=4
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert single <= multi <= exact
+    assert len(multi_rows) == len(multi)  # band duplicates collapsed
+
+
+def test_connected_components_clusters_chained_dups(spark):
+    """pairs → components: chained near-dups (A~B, B~C, A!~C) land in ONE
+    cluster with the smallest id canonical; singletons keep themselves."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id bigint")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    # longer chain exercises multi-round convergence (diameter 4)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got2 = {
+        r.id: r.cluster_id for r in connected_components(chain).collect()
+    }
+    assert set(got2.values()) == {1}

@@ -1619,6 +1619,111 @@ FROM m
 """
 
 
+def _q_quality_gate(spark, sf_dir):
+    """Composite Gopher-style training-data gate: language-ID + quality
+    features + repetition filters joined per document into one keep/drop
+    verdict — the filtering composition an LLM-corpus pipeline actually
+    runs.  Three per-doc operators joined on doc_id (co-partitioned key,
+    no extra shuffle shape beyond the operators' own)."""
+    d = _t(spark, sf_dir, "documents")
+    li = ts_ops.lang_id(d).select("doc_id", "lang_pred")
+    qs = ts_ops.quality_score(d).select("doc_id", "n_tokens", "stop_bp")
+    rep = ts_ops.repetition_stats(d).select(
+        "doc_id", "dup_line_bp", "top2gram_char_bp"
+    )
+    out = qs.join(li, "doc_id").join(rep, "doc_id")
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_bp") >= 500)
+        & (F.col("dup_line_bp") <= 3000)
+        & (F.col("top2gram_char_bp") <= 2000)
+        & (F.col("lang_pred") != "und")
+    ).cast("int")
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "stop_bp",
+        "dup_line_bp",
+        "top2gram_char_bp",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _sql_quality_gate() -> str:
+    langs = sorted(ts_ops.LANG_STOPWORDS)
+    hit_exprs = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in ts_ops.LANG_STOPWORDS[lg])
+        hit_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({words}))) AS hits_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    all_stop = sorted(
+        {w for ws in ts_ops.LANG_STOPWORDS.values() for w in ws}
+    )
+    stops = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_filter(toks, t -> t IN ({stops}))) AS n_stopword,
+         {', '.join(hit_exprs)}
+  FROM t),
+l AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(n_stopword * 10000 / greatest(n_tokens, 1)) AS BIGINT)
+           AS stop_bp,
+         {case} AS lang_pred
+  FROM h),
+ln AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines
+  FROM documents),
+rep_base AS (
+  SELECT doc_id, text, len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct
+  FROM ln),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM t WHERE len(toks) >= 2),
+counted AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, cnt * length(gram) AS covered,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn
+  FROM counted),
+rep AS (
+  SELECT b.doc_id,
+         CAST(floor((n_lines - n_distinct) * 10000
+                    / greatest(n_lines, 1)) AS BIGINT) AS dup_line_bp,
+         CAST(floor(coalesce(tp.covered, 0) * 10000
+                    / greatest(length(b.text), 1)) AS BIGINT)
+           AS top2gram_char_bp
+  FROM rep_base b
+  LEFT JOIN (SELECT doc_id, covered FROM top WHERE rn = 1) tp
+    USING (doc_id))
+SELECT l.doc_id, lang_pred, n_tokens, stop_bp,
+       dup_line_bp, top2gram_char_bp,
+       CASE WHEN n_tokens >= 20 AND stop_bp >= 500
+                 AND dup_line_bp <= 3000 AND top2gram_char_bp <= 2000
+                 AND lang_pred <> 'und'
+            THEN 1 ELSE 0 END AS keep
+FROM l JOIN rep USING (doc_id)
+ORDER BY l.doc_id
+"""
+
+
 def _q_token_counts(spark, sf_dir):
     return ts_ops.token_counts(_t(spark, sf_dir, "documents")).select(
         "doc_id", "ws_tokens", "bpe_tokens"
@@ -2250,6 +2355,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * dedup_clusters — connected components over near-dup pairs →
       canonical keep per duplicate cluster (oracle: recursive
       transitive-closure CTE, an independent algorithm)
+    * training_quality_gate — lang-ID + quality + repetition joined into
+      one Gopher-style keep/drop verdict per document
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2258,6 +2365,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_conditional_add": _q_u3_conditional_add,
         # r3 additions beyond the 50-slot window (oracle-verified here)
         "dedup_clusters": _q_dedup_clusters,
+        "training_quality_gate": _q_quality_gate,
     }
 
 
@@ -2312,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "training_quality_gate": _sql_quality_gate(),
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),

@@ -593,3 +593,44 @@ def test_connected_components_clusters_chained_dups(spark):
         r.id: r.cluster_id for r in connected_components(chain).collect()
     }
     assert set(got2.values()) == {1}
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Randomized (seeded) graphs: the distributed min-label propagation
+    must equal a plain union-find computed driver-side."""
+    import random
+
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25 + trial * 10)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for v in range(n):
+            r = find(v)
+            want[v] = min(u for u in range(n) if find(u) == r)
+        edf = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        vdf = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(edf, vertices=vdf).collect()
+        }
+        assert got == want, f"trial {trial}"

@@ -98,16 +98,38 @@ def _hyperplanes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
 
 
 def _srp_signature(vec_col, dim: int, bits: int, seed: int = 7) -> F.Column:
-    """Signed-random-projection signature: bit b = sign(<v, h_b>)."""
+    """Signed-random-projection signature: bit b = sign(<v, h_b>).
+
+    All ``bits`` dot products run in ONE aggregate fold over the vector's
+    dimensions with an array accumulator — a constant-size expression
+    tree instead of ``bits`` separate fold expressions (the naive form
+    blew up codegen and ran ~3× slower at bits=24).  Per-bit addition
+    order is unchanged (sequential in d), so signatures stay bit-for-bit
+    equal to the DuckDB oracle's per-plane left folds."""
     planes = _hyperplanes(dim, bits, seed)
-    sig = F.lit(0).cast("bigint")
-    for b, plane in enumerate(planes):
-        dot = _dot(F.lit(plane), vec_col)
-        bit = F.when(
-            dot > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = sig.bitwiseOR(bit)
-    return sig
+    # transpose: planes_t[d][b] = plane b, component d
+    planes_t = [[planes[b][d] for b in range(bits)] for d in range(dim)]
+    dots = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.array_repeat(F.lit(0.0), bits),
+        lambda acc, d: F.zip_with(
+            acc,
+            F.element_at(F.lit(planes_t), (d + 1).cast("int")),
+            lambda a, p: a + F.element_at(vec_col, (d + 1).cast("int")) * p,
+        ),
+    )
+    bit_values = F.lit([1 << b for b in range(bits)]).cast("array<bigint>")
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            bit_values,
+            lambda dot, bv: F.when(dot > 0, bv).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def _band_keys(sig_col, bands: int, band_bits: int) -> F.Column:

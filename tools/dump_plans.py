@@ -62,7 +62,9 @@ def main():
         "MinHash-LSH near-dup pairs (dedup_minhash_lsh)",
         e.queries()["dedup_minhash_lsh"](spark, sf),
         "Candidates via band-bucket equi-join (SortMergeJoin on (band, "
-        "bucket)) — shuffles scale with candidates, never |docs|².",
+        "bucket)) — shuffles scale with candidates, never |docs|²; the "
+        "signature-estimate pre-prune (r3) shrinks the exact shingle "
+        "verify join's input before it runs.",
     )
     add(
         "Exact cosine top-k (sim_ann_cosine)",
@@ -74,8 +76,17 @@ def main():
     add(
         "SRP-LSH embedding dedup (dedup_embedding_srp)",
         e.queries()["dedup_embedding_srp"](spark, sf),
-        "Bucket equi-join on the 6-bit SRP signature — no crossJoin in "
-        "the plan; exact cosine verify only on same-bucket pairs.",
+        "Multi-band bucket equi-join (2×6-bit bands ORed via posexplode + "
+        "distinct) — no crossJoin in the plan; exact cosine verify only "
+        "on same-bucket pairs.",
+    )
+    add(
+        "IVF-style ANN (sim_ivf_topk)",
+        e.queries()["sim_ivf_topk"](spark, sf),
+        "Window-free centroid pick: TakeOrderedAndProject selects the "
+        "n_lists smallest-id vectors (r3 fix — no single-partition "
+        "Window anywhere); corpus assignment via broadcast argmax, "
+        "probes via broadcast equi-join on list id.",
     )
     add(
         "Top-N calibration sum (a10_augmented_dict uses top_n_sum)",

@@ -2147,6 +2147,83 @@ ORDER BY d.doc_id
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style 13-gram overlap):
+    documents with doc_id ≡ 8 (mod 10) stand in for the eval/benchmark
+    set; every remaining (training) document reports how many of its
+    distinct word 13-grams occur anywhere in the benchmark, plus the
+    0/1 contaminated verdict.  The benchmark gram set is broadcast —
+    shuffle cost ∝ contamination hits, not corpus size."""
+    from memo_fraktur_ocr_code_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 8)
+    train = docs.where(F.col("doc_id") % 10 != 8)
+    return decontaminate(train, bench, n=13).orderBy("doc_id")
+
+
+_SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, u AS gram
+  FROM (SELECT doc_id,
+               unnest(list_transform(ts[1:len(ts)-12],
+                      (x, i) -> array_to_string(ts[i:i+12], ' '))) AS u
+        FROM toks WHERE len(ts) >= 13)),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 8),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 10 <> 8
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 8
+ORDER BY d.doc_id
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates in
+    basis points against bucket = first-32-bits(md5('strat:id')) mod
+    10000 — a pure narrow filter, reproducible across engines (the
+    oracle recomputes the identical bucket from the same md5 hex)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        {"en": 2500, "de": 8000, "fr": 5000},
+        default_bp=1000,
+    ).orderBy("doc_id")
+
+
+_SQL_STRATIFIED = """
+WITH b AS (
+  SELECT doc_id, lang,
+         list_sum([ ((strpos('0123456789abcdef',
+                             substring(md5('strat:' || doc_id::VARCHAR),
+                                       i, 1)) - 1)::BIGINT
+                     << (4 * (8 - i)))
+                    FOR i IN range(1, 9) ])::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 8000
+                         WHEN 'fr' THEN 5000 ELSE 1000 END
+ORDER BY doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3, where the 4×15-bit block
     pigeonhole makes LSH recall exact — and the md5-derived 60-bit token
@@ -2357,6 +2434,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       transitive-closure CTE, an independent algorithm)
     * training_quality_gate — lang-ID + quality + repetition joined into
       one Gopher-style keep/drop verdict per document
+    * decontaminate_bench — GPT-3/PaLM-style 13-gram benchmark-overlap
+      decontamination (broadcast bench gram set)
+    * stratified_sample — deterministic md5-bucket per-stratum sampling
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2366,6 +2446,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 additions beyond the 50-slot window (oracle-verified here)
         "dedup_clusters": _q_dedup_clusters,
         "training_quality_gate": _q_quality_gate,
+        "decontaminate_bench": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -2421,6 +2503,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "training_quality_gate": _sql_quality_gate(),
+        "decontaminate_bench": _SQL_DECONTAMINATE,
+        "stratified_sample": _SQL_STRATIFIED,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),

@@ -1,0 +1,152 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+* Benchmark decontamination — flag training documents that share any
+  word n-gram (default n=13, the published GPT-3/PaLM decontamination
+  window) with an evaluation/benchmark set, so eval data can be
+  removed from the training corpus before training.
+* Deterministic stratified sampling — per-stratum keep rates applied
+  through a salted md5 hash of the document id, so the sample is
+  reproducible across runs, executors, and engines (no RNG state).
+
+Scale notes (the 100 TB shapes):
+
+* ``decontaminate``: a benchmark set is small by definition (10^3-10^6
+  eval documents vs 10^9+ training docs), so its distinct-gram set is
+  BROADCAST — the training corpus is scanned once, its grams are
+  pipelined row amplification off the scan (posexplode, never a
+  shuffle), and only matching (doc, gram) hits enter the per-doc count
+  aggregation.  Total shuffle cost is proportional to contamination
+  hits, not corpus size.
+* ``stratified_sample``: a pure narrow filter — no shuffle, no window,
+  no driver-side state; md5 is computed JVM-side per row and the rate
+  table is a literal map.  Partition pruning and predicate pushdown
+  still apply upstream because the filter composes with the scan.
+
+The reference has no corpus-curation stage (it corrects a fixed novel
+set, e.g. memoocr/pipeline.py); these operators extend the engine with
+the curation steps a web-scale training pipeline needs, as SURVEY.md §6
+prescribes, alongside the dedup family in ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngram_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """(id, gram) rows — the DISTINCT word ``n``-grams of the
+    whitespace-tokenized, lowercased text.  All JVM-side: split +
+    transform over an index sequence + explode; docs shorter than ``n``
+    tokens produce no rows (the ``size >= n`` guard also keeps
+    ``sequence(1, size-n+1)`` ascending — Spark's ``sequence(1, 0)``
+    DESCENDS and would emit bogus indexes)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts")).where(
+        F.size("ts") >= n
+    )
+    return base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(ts, i, {n})))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per training document: (id, n_hits, contaminated) where
+    ``n_hits`` counts the document's distinct word ``n``-grams that
+    also occur anywhere in the benchmark set, and ``contaminated`` is
+    the 0/1 verdict (int, not boolean, for cross-engine hash parity).
+
+    Every training document appears in the output exactly once — docs
+    with no grams (shorter than ``n`` tokens) report 0 hits rather
+    than vanishing, so downstream anti-joins can use the verdict
+    column directly."""
+    bench_grams = (
+        word_ngram_table(bench, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        word_ngram_table(train, id_col, text_col, n)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def sample_bucket(id_col, salt: str = "strat") -> F.Column:
+    """Deterministic 0..9999 bucket: first 32 bits of md5('salt:id'),
+    mod 10000.  md5 (not xxhash64) so the DuckDB oracle can recompute
+    the identical bucket from the same hex digits."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % 10000
+    ).alias("bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    default_bp: int = 0,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row iff its deterministic bucket falls below the
+    stratum's rate in basis points (``rates_bp['en'] = 2500`` keeps
+    ~25% of the 'en' stratum); strata absent from the map use
+    ``default_bp``.  Output: (id, stratum, bucket) of the kept rows —
+    the bucket column is the reproducibility evidence (same input →
+    byte-identical sample on any engine)."""
+    pairs: list[F.Column] = []
+    for k, v in sorted(rates_bp.items()):
+        pairs += [F.lit(k), F.lit(int(v))]
+    rate = (
+        F.coalesce(
+            F.create_map(*pairs)[F.col(strata_col)], F.lit(int(default_bp))
+        )
+        if pairs
+        else F.lit(int(default_bp))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            sample_bucket(id_col, salt),
+            rate.alias("_rate_bp"),
+        )
+        .where(F.col("bucket") < F.col("_rate_bp"))
+        .drop("_rate_bp")
+    )

@@ -1,0 +1,119 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py):
+benchmark decontamination and deterministic stratified sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.operators.curation import (
+    decontaminate,
+    stratified_sample,
+    word_ngram_table,
+)
+
+SENT = "the quick brown fox jumps over the lazy dog near the old mill"
+# 13 tokens exactly — one 13-gram.
+assert len(SENT.split()) == 13
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_word_ngram_table_counts_and_short_doc_guard(spark):
+    df = _docs(
+        spark,
+        [
+            (1, SENT + " extra token"),  # 15 tokens → 3 distinct 13-grams
+            (2, "too short"),  # < 13 tokens → no rows
+        ],
+    )
+    out = word_ngram_table(df, n=13).collect()
+    ids = {r.id for r in out}
+    assert ids == {1}
+    assert len(out) == 3
+    assert all(len(r.gram.split(" ")) == 13 for r in out)
+
+
+def test_decontaminate_flags_overlap_and_keeps_clean_docs(spark):
+    bench = _docs(spark, [(100, SENT.upper())])  # case-insensitive match
+    train = _docs(
+        spark,
+        [
+            (1, SENT),  # exact 13-gram overlap → contaminated
+            (2, "Prefix words here " + SENT + " and a suffix"),  # interior
+            (3, " ".join(SENT.split()[:12])),  # only 12 shared tokens
+            (4, "totally unrelated text entirely"),  # clean, short
+            (5, "a b c d e f g h i j k l m n o p q r"),  # clean, long
+        ],
+    )
+    out = {r.doc_id: r for r in decontaminate(train, bench, n=13).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}  # every train doc appears once
+    assert out[1].contaminated == 1 and out[1].n_hits == 1
+    assert out[2].contaminated == 1 and out[2].n_hits >= 1
+    assert out[3].contaminated == 0 and out[3].n_hits == 0
+    assert out[4].contaminated == 0
+    assert out[5].contaminated == 0
+
+
+def test_decontaminate_plan_broadcasts_bench_no_cartesian(spark):
+    bench = _docs(spark, [(100, SENT)])
+    train = _docs(spark, [(1, SENT), (2, "x y z")])
+    plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # bench gram set is broadcast
+
+
+def _expected_bucket(doc_id: int, salt: str = "strat") -> int:
+    hx = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()
+    return int(hx[:8], 16) % 10000
+
+
+def test_stratified_sample_matches_python_md5_replica(spark):
+    rows = [(i, "lang%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    rates = {"lang0": 10000, "lang1": 2500, "lang2": 0}
+    out = stratified_sample(df, rates, default_bp=0).collect()
+    got = {(r.doc_id, r.lang, r.bucket) for r in out}
+    want = {
+        (i, lang, _expected_bucket(i))
+        for i, lang in rows
+        if _expected_bucket(i) < rates[lang]
+    }
+    assert got == want
+    # rate 10000 keeps the whole stratum; rate 0 keeps none of it
+    assert {r.doc_id for r in out if r.lang == "lang0"} == {
+        i for i, l in rows if l == "lang0"
+    }
+    assert not [r for r in out if r.lang == "lang2"]
+
+
+def test_stratified_sample_is_deterministic_and_salt_sensitive(spark):
+    rows = [(i, "en") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = sorted(r.doc_id for r in stratified_sample(df, {"en": 5000}).collect())
+    b = sorted(r.doc_id for r in stratified_sample(df, {"en": 5000}).collect())
+    assert a == b  # same salt → identical sample across runs
+    c = sorted(
+        r.doc_id
+        for r in stratified_sample(df, {"en": 5000}, salt="other").collect()
+    )
+    assert a != c  # different salt → different (but still valid) sample
+    # default_bp applies to strata missing from the map
+    d = stratified_sample(
+        df.withColumn("lang", F.lit("xx")), {"en": 5000}, default_bp=10000
+    ).count()
+    assert d == 200
+
+
+def test_stratified_sample_plan_is_narrow_filter(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(50)],
+                               "doc_id bigint, lang string")
+    plan = (
+        stratified_sample(df, {"en": 5000})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: pure per-row filter
+    assert "Window" not in plan

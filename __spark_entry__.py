@@ -2224,6 +2224,85 @@ ORDER BY doc_id
 """
 
 
+def _q_pack_tokens(spark, sf_dir):
+    """Token-budget pack assignment for training-shard assembly: docs
+    hashed into 8 shards, quota-packed at 200 tokens within each shard.
+    The only window is PARTITIONED by shard — per-shard running sums
+    are independent tasks, so the plan parallelizes to n_shards at any
+    corpus size (the unpartitioned formulation is exactly what the plan
+    guards reject)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        pack_token_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_budget(docs, budget=200, n_shards=8).orderBy("doc_id")
+
+
+_SQL_PACK_TOKENS = """
+WITH b AS (
+  SELECT doc_id,
+         (doc_id % 8)::INTEGER AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b)
+SELECT doc_id, shard, n_tokens,
+       (greatest(cum - 1, 0) // 200)::BIGINT AS pack_id
+FROM c ORDER BY doc_id
+"""
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII redaction demo over deterministic planted PII: each document
+    gets a synthetic contact line (email + phone derived from doc_id)
+    appended, then the redaction chain replaces emails/phones/IPv4s
+    with typed placeholders.  Pure narrow projection — no shuffle; the
+    oracle applies the identical RE2-compatible patterns."""
+    from memo_fraktur_ocr_code_spark.operators.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit("@mail.example or call +45 5550-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).orderBy("doc_id")
+
+
+_SQL_REDACT_PII = """
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || lpad(doc_id::VARCHAR, 4, '0')
+              || '@mail.example or call +45 5550-'
+              || lpad(doc_id::VARCHAR, 4, '0') AS t
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{2,8}', '<PHONE>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+           '<IP>', 'g') AS redacted
+  FROM p)
+SELECT doc_id, redacted,
+       (len(string_split(redacted, '<EMAIL>')) - 1
+        + len(string_split(redacted, '<PHONE>')) - 1
+        + len(string_split(redacted, '<IP>')) - 1)::INTEGER AS n_redactions
+FROM r ORDER BY doc_id
+"""
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash near-dup pairs at Hamming ≤ 3, where the 4×15-bit block
     pigeonhole makes LSH recall exact — and the md5-derived 60-bit token
@@ -2437,6 +2516,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * decontaminate_bench — GPT-3/PaLM-style 13-gram benchmark-overlap
       decontamination (broadcast bench gram set)
     * stratified_sample — deterministic md5-bucket per-stratum sampling
+    * pack_token_budget — per-shard quota packing into fixed token
+      budgets (partitioned running-sum window)
+    * redact_pii — email/phone/IPv4 placeholder redaction over planted
+      deterministic PII
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2448,6 +2531,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_quality_gate": _q_quality_gate,
         "decontaminate_bench": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
+        "pack_token_budget": _q_pack_tokens,
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -2505,6 +2590,8 @@ def oracle_sql() -> dict[str, str]:
         "training_quality_gate": _sql_quality_gate(),
         "decontaminate_bench": _SQL_DECONTAMINATE,
         "stratified_sample": _SQL_STRATIFIED,
+        "pack_token_budget": _SQL_PACK_TOKENS,
+        "redact_pii": _SQL_REDACT_PII,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),

@@ -30,7 +30,7 @@ prescribes, alongside the dedup family in ``operators/dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,92 @@ def stratified_sample(
         )
         .where(F.col("bucket") < F.col("_rate_bp"))
         .drop("_rate_bp")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs for training-shard
+    assembly: (id, shard, n_tokens, pack_id).
+
+    Documents are first hashed into ``n_shards`` independent shards
+    (``id % n_shards``), then walked in id order WITHIN each shard with
+    a running token total; ``pack_id`` is the quota bin the document's
+    cumulative total lands in (a document may straddle a quota
+    boundary — this is quota packing, not first-fit bin packing, which
+    is inherently sequential and would not distribute).
+
+    Scale shape: the only window is PARTITIONED by shard — each shard's
+    running sum is an independent task, so the operator parallelizes to
+    ``n_shards`` regardless of corpus size.  An unpartitioned
+    running-sum (the naive formulation) would funnel the whole corpus
+    through one task and is exactly the plan shape the repo's plan
+    guards reject."""
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        toks.cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("_cum"),
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(
+            f"CAST(greatest(_cum - 1, 0) DIV {int(budget)} AS BIGINT)"
+        ).alias("pack_id"),
+    )
+
+
+#: Alternation-free, lookaround-free PII patterns — the subset on which
+#: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{2,8}", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII-shaped substrings (emails, international phone
+    numbers, IPv4 addresses) with typed placeholder tokens:
+    (id, redacted, n_redactions).
+
+    A pure narrow projection — ``regexp_replace`` chains JVM-side with
+    no shuffle, so redaction composes with the scan at any corpus size.
+    ``n_redactions`` counts placeholder insertions (int), so a
+    downstream filter can quarantine PII-dense documents."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    red = F.col(text_col)
+    for pat, tag in pats:
+        red = F.regexp_replace(red, pat, tag)
+    n = F.lit(0)
+    for _, tag in pats:
+        n = n + F.size(F.split(red, tag, -1)) - 1
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n.cast("int").alias("n_redactions"),
     )

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from memo_fraktur_ocr_code_spark.operators.curation import (
     decontaminate,
+    pack_token_budget,
+    redact_pii,
     stratified_sample,
     word_ngram_table,
 )
@@ -106,6 +108,67 @@ def test_stratified_sample_is_deterministic_and_salt_sensitive(spark):
         df.withColumn("lang", F.lit("xx")), {"en": 5000}, default_bp=10000
     ).count()
     assert d == 200
+
+
+def test_pack_token_budget_quota_bins(spark):
+    # one shard (n_shards=1) so the packing sequence is easy to follow:
+    # token counts 3, 4, 5 at budget 5 → cums 3, 7, 12 → packs 0, 1, 2
+    df = _docs(spark, [(0, "a b c"), (1, "d e f g"), (2, "h i j k l")])
+    out = {r.doc_id: r for r in pack_token_budget(df, 5, n_shards=1).collect()}
+    assert [out[i].n_tokens for i in range(3)] == [3, 4, 5]
+    assert [out[i].pack_id for i in range(3)] == [0, 1, 2]
+    assert all(out[i].shard == 0 for i in range(3))
+
+
+def test_pack_token_budget_shards_are_independent(spark):
+    df = _docs(spark, [(i, "w " * (i + 1)) for i in range(10)])
+    out = pack_token_budget(df, 100, n_shards=4).collect()
+    assert {r.shard for r in out} == {0, 1, 2, 3}
+    # within a shard, pack_id is non-decreasing in doc order
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard, []).append(r.pack_id)
+    for packs in by_shard.values():
+        assert packs == sorted(packs)
+
+
+def test_pack_token_budget_window_is_partitioned(spark):
+    df = _docs(spark, [(i, "a b c") for i in range(20)])
+    plan = (
+        pack_token_budget(df, 10, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in plan
+    # the shuffle feeding the window is hash-partitioned by shard, never
+    # a single global partition
+    assert "SinglePartition" not in plan
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "call +45 5550-1234 or +1 800 5551"),
+            (3, "host 192.168.0.1 up"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "mail <EMAIL> now"
+    assert out[1].n_redactions == 1
+    assert out[2].redacted == "call <PHONE> or <PHONE>"
+    assert out[2].n_redactions == 2
+    assert out[3].redacted == "host <IP> up"
+    assert out[3].n_redactions == 1
+    assert out[4].redacted == "nothing sensitive here"
+    assert out[4].n_redactions == 0
+
+
+def test_redact_pii_plan_has_no_shuffle(spark):
+    df = _docs(spark, [(1, "a@b.dk")])
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_stratified_sample_plan_is_narrow_filter(spark):

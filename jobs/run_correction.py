@@ -23,6 +23,12 @@ Flags (optional, any order after the positional args):
         an out_dir that already has a manifest for this stage is
         refused — partial output must be resumed explicitly, not
         silently appended to.
+  --bucketed-input  treat <transcripts_path> (and alt_path) as session-
+        catalog table names read via ``spark.table`` so a conv_id
+        bucket spec written by sources/bucketed.py reaches the planner,
+        and default to the conv-grouped cogroup plan — over same-bucket
+        tables its two shuffles are elided entirely
+        (tests/test_bucketed.py proves zero Exchange).
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ def main(argv: list[str]) -> None:
     augment: bool | tuple = False
     fused: bool | str = True
     resume = False
+    bucketed = False
     threshold = 1_000_000
     for o in opts:
         if o.startswith("--augment-per-conv"):
@@ -64,6 +71,8 @@ def main(argv: list[str]) -> None:
                 threshold = int(o.split("=", 1)[1])
         elif o == "--resume":
             resume = True
+        elif o == "--bucketed-input":
+            bucketed = True
         else:
             raise SystemExit(f"unknown flag: {o}")
 
@@ -83,10 +92,17 @@ def main(argv: list[str]) -> None:
             " use a fresh out_dir"
         )
 
-    transcripts = spark.read.format(
-        "iceberg" if transcripts_path.count("/") == 1 else "parquet"
-    ).load(transcripts_path)
-    alt = spark.read.parquet(alt_path) if alt_path else None
+    if bucketed:
+        # catalog read keeps the bucket spec; a path read would lose it
+        transcripts = spark.table(transcripts_path)
+        alt = spark.table(alt_path) if alt_path else None
+        if fused is True:
+            fused = "cogroup"  # the plan whose shuffles buckets elide
+    else:
+        transcripts = spark.read.format(
+            "iceberg" if transcripts_path.count("/") == 1 else "parquet"
+        ).load(transcripts_path)
+        alt = spark.read.parquet(alt_path) if alt_path else None
     lexicon = load_lexicon(spark, lexicon_path)
 
     corrected = correct_pipeline(

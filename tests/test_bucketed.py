@@ -1,0 +1,149 @@
+"""Bucketed transcripts layout (sources/bucketed.py): prove the
+conv_id bucket spec elides every conv_id-clustered shuffle, and that
+the correction pipeline over bucketed inputs stays byte-equal to the
+unbucketed path."""
+
+from __future__ import annotations
+
+import pytest
+
+from memo_fraktur_ocr_code_spark.plans.pipeline import correct_pipeline
+from memo_fraktur_ocr_code_spark.sources.bucketed import (
+    conv_rollup,
+    read_bucketed,
+    write_bucketed,
+)
+from memo_fraktur_ocr_code_spark.sources.fixtures import make_fixture
+
+BASE_T = "test_bucketed_base"
+ALT_T = "test_bucketed_alt"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed_tables")
+    base_rows, alt_rows, lexicon = make_fixture(n_convs=12)
+    base = spark.createDataFrame(
+        [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+             r["ts"])
+            for r in base_rows
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    alt = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in alt_rows],
+        "conv_id string, turn_idx int, text string",
+    )
+    write_bucketed(base, BASE_T, n_buckets=4, path=str(root / "base"))
+    write_bucketed(
+        alt, ALT_T, n_buckets=4, path=str(root / "alt"),
+        sort_cols=("conv_id", "turn_idx"),
+    )
+    yield {"base": base, "alt": alt, "lexicon": lexicon}
+    spark.sql(f"DROP TABLE IF EXISTS {BASE_T}")
+    spark.sql(f"DROP TABLE IF EXISTS {ALT_T}")
+
+
+def test_conv_rollup_is_shuffle_free_over_buckets(spark, bucketed):
+    plan = _plan(conv_rollup(spark, BASE_T))
+    assert "Exchange" not in plan  # bucket spec satisfies the groupBy
+    # the same rollup over a bucket-less read of the same rows shuffles
+    naive = (
+        bucketed["base"]
+        .groupBy("conv_id")
+        .count()
+    )
+    assert "Exchange" in _plan(naive)
+    # and the values agree
+    a = {
+        (r.conv_id, r.n_turns)
+        for r in conv_rollup(spark, BASE_T).collect()
+    }
+    b = {(r.conv_id, r["count"]) for r in naive.collect()}
+    assert a == b
+
+
+def test_self_join_on_conv_id_is_shuffle_free(spark, bucketed):
+    # force the sort-merge path (the fixture is small enough to
+    # broadcast, which would sidestep the bucketing demonstration —
+    # at corpus scale neither side broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = read_bucketed(spark, BASE_T)
+        j = t.alias("l").join(
+            read_bucketed(spark, BASE_T).alias("r"), "conv_id"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        # both sides read pre-hashed buckets: no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cogroup_pipeline_over_buckets_elides_both_shuffles(
+    spark, bucketed
+):
+    out = correct_pipeline(
+        spark,
+        read_bucketed(spark, BASE_T),
+        read_bucketed(spark, ALT_T),
+        bucketed["lexicon"],
+        fused="cogroup",
+    )
+    plan = _plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    # both cogroup children are satisfied by the bucket spec: the plan
+    # that costs 2 full-corpus shuffles on unbucketed input costs none
+    assert "Exchange" not in plan
+    unbucketed = correct_pipeline(
+        spark,
+        bucketed["base"],
+        bucketed["alt"],
+        bucketed["lexicon"],
+        fused="cogroup",
+    )
+    assert "Exchange" in _plan(unbucketed)
+    # byte-equality against the unbucketed path
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, unbucketed.collect()), key=lambda t: t[:2]
+    )
+
+
+def test_job_cli_bucketed_input(spark, bucketed, tmp_path):
+    """--bucketed-input reads catalog tables (keeping the bucket spec)
+    and produces the same corrected output as the path-based run."""
+    from jobs.run_correction import main
+
+    lex_path = str(tmp_path / "lex.parquet")
+    spark.createDataFrame(
+        bucketed["lexicon"], "token string, freq bigint"
+    ).write.parquet(lex_path)
+    out_b = str(tmp_path / "out_bucketed")
+    main([BASE_T, lex_path, out_b, ALT_T, "--bucketed-input"])
+
+    base_path = str(tmp_path / "base.parquet")
+    alt_path = str(tmp_path / "alt.parquet")
+    bucketed["base"].write.parquet(base_path)
+    bucketed["alt"].write.parquet(alt_path)
+    out_p = str(tmp_path / "out_plain")
+    main([base_path, lex_path, out_p, alt_path])
+
+    a = sorted(
+        map(tuple, spark.read.parquet(f"{out_b}/corrected_turns")
+            .select("conv_id", "turn_idx", "corrected_text").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(f"{out_p}/corrected_turns")
+            .select("conv_id", "turn_idx", "corrected_text").collect())
+    )
+    assert a == b and len(a) > 0

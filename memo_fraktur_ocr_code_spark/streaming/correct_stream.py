@@ -81,3 +81,32 @@ def turn_rate_stream(
             "n_chars",
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    watermark: str = "30 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact content dedup: the dedup key is
+    ``xxhash64`` of the whitespace-normalized text (the same signature
+    batch ``dedup.exact_dedup`` groups on), and
+    ``dropDuplicatesWithinWatermark`` keeps each key's first arrival
+    while EXPIRING key state once the watermark passes its event time —
+    bounded state on an unbounded stream.  A plain ``dropDuplicates``
+    would hold every signature ever seen and OOM eventually; the
+    watermark variant trades that for a documented semantics change
+    (a duplicate arriving later than ``watermark`` after the original
+    is re-emitted), which is the standard streaming-dedup contract."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        normalize_text_col,
+    )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn(
+            "content_sig", F.xxhash64(normalize_text_col(text_col))
+        )
+        .dropDuplicatesWithinWatermark(["content_sig"])
+    )

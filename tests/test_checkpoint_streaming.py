@@ -125,6 +125,50 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     assert len(batch_agg) == 3  # 30 minutes of turns → three 10-min windows
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dedup_stream keeps one row per content signature and carries the
+    watermark-bounded state contract (dropDuplicatesWithinWatermark in
+    the plan, not an unbounded dropDuplicates)."""
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.streaming.correct_stream import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "dsrc")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "same  text here", base),
+        ("c2", 0, "same text  here", base + dt.timedelta(minutes=1)),
+        ("c3", 0, "different text", base + dt.timedelta(minutes=2)),
+        ("c4", 0, "same text here", base + dt.timedelta(minutes=3)),
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+    deduped = dedup_stream(stream, watermark="30 minutes")
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dchk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM deduped_docs").collect()
+    finally:
+        q.stop()
+    # 3 whitespace-normalized-identical texts collapse to one survivor
+    assert len(got) == 2
+    assert len({r.content_sig for r in got}) == 2
+    assert "different text" in {r.text for r in got}
+
+
 def test_stateful_assembly_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: turns of one conversation arriving in two
     micro-batches must converge to the same per-turn corrected text as the

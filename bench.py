@@ -53,6 +53,11 @@ HEADLINE = [
     "repetition_stats",
     "token_count",
     "fingerprint",
+    # r3 curation additions (registered in extra_queries)
+    "decontaminate_bench",
+    "stratified_sample",
+    "pack_token_budget",
+    "redact_pii",
 ]
 
 
@@ -124,7 +129,8 @@ def _run_pipeline_count(spark, lexicon, sample_mod: int | None = None) -> int:
 def run_headline(spark, sf_dir: str, lexicon) -> dict[str, float]:
     import __spark_entry__ as entry
 
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(entry.extra_queries())
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -22,7 +22,11 @@ Flags (optional, any order after the positional args):
         recomputes finished buckets.  Without --resume, writing into
         an out_dir that already has a manifest for this stage is
         refused — partial output must be resumed explicitly, not
-        silently appended to.
+        silently appended to.  Resume validates lineage: a different
+        <transcripts_path> than the manifest records is refused
+        (mixing corpora), and bucket partitions left on disk by a
+        crash between data commit and manifest append are reclaimed
+        and recomputed exactly once.
   --bucketed-input  treat <transcripts_path> (and alt_path) as session-
         catalog table names read via ``spark.table`` so a conv_id
         bucket spec written by sources/bucketed.py reaches the planner,

@@ -350,6 +350,19 @@ def minhash_lsh_pairs(
     return est
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'s storage blocks NOW instead of
+    waiting for the async ContextCleaner: ``Dataset.unpersist()`` is a
+    no-op for checkpoint blocks (they are registered on the RDD, not in
+    the CacheManager), but the checkpointed RDD hangs off the analyzed
+    ``LogicalRDD`` plan node.  Best-effort internal-API reach-through —
+    on any failure cleanup simply defers to GC."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -377,6 +390,15 @@ def connected_components(
 
     ``vertices`` (optional, column ``id``): include singleton documents —
     they come back as their own cluster.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — a partially-propagated result would silently
+    split real clusters (tail documents labeled above the component
+    minimum → several 'canonical' keeps per true cluster), so
+    non-convergence must be loud, not a wrong answer.  Each round's
+    superseded label checkpoint is released immediately (storage stays
+    at ~2 label-table copies instead of one per round — at 10^9
+    vertices the difference between bounded and linear storage).
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -393,6 +415,7 @@ def connected_components(
     labels = verts.select(
         "id", F.col("id").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -426,9 +449,19 @@ def connected_components(
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    _release_local_checkpoint(sym)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            " — labels are still propagating (a duplicate chain longer"
+            " than max_iter, or a pathological graph); raise max_iter or"
+            " switch to the large-star/small-star rounds noted above"
+        )
     return labels
 
 

@@ -48,6 +48,36 @@ def completed_buckets(
     }
 
 
+def _reconcile_orphan_buckets(
+    out_dir: str, stage: str, done: set[int]
+) -> list[int]:
+    """Delete data partitions whose bucket never reached the manifest.
+
+    The data job commits before the manifest row is appended; a crash
+    in that window leaves bucket partitions on disk with no manifest
+    entry, and a resume would recompute them — ``mode('append')`` would
+    then write those rows a SECOND time.  Making the bucket dir + its
+    manifest row atomic isn't possible on a plain filesystem, so resume
+    instead reconciles: any ``_bucket=K`` partition not recorded as
+    complete is incomplete-by-contract and is dropped before compute.
+    Local-FS implementation; on an object store this is the same
+    prefix delete."""
+    import shutil
+
+    data_path = os.path.join(out_dir, stage)
+    if not os.path.exists(data_path):
+        return []
+    orphans = []
+    for name in os.listdir(data_path):
+        if not name.startswith("_bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b not in done:
+            shutil.rmtree(os.path.join(data_path, name))
+            orphans.append(b)
+    return sorted(orphans)
+
+
 def run_stage_checkpointed(
     spark: SparkSession,
     df: DataFrame,
@@ -62,8 +92,34 @@ def run_stage_checkpointed(
     Already-completed buckets (per the manifest) are pruned *before*
     compute; the remainder is written partitioned by bucket, then the
     manifest is extended.  Returns a summary dict.
+
+    Resume safety: (a) bucket partitions on disk with no manifest row
+    (a crash between the data commit and the manifest append) are
+    deleted before compute, so they are recomputed exactly once instead
+    of duplicated; (b) if the manifest records a different
+    ``input_fingerprint`` for this stage, the run is refused — resuming
+    with a different input would silently mix two corpora in one
+    out_dir.
     """
     done = completed_buckets(spark, out_dir, stage)
+    if done and input_fingerprint:
+        prior = {
+            r["input_fingerprint"]
+            for r in spark.read.parquet(os.path.join(out_dir, MANIFEST_DIR))
+            .where(F.col("stage") == stage)
+            .select("input_fingerprint")
+            .distinct()
+            .collect()
+        }
+        prior.discard("")
+        if prior and prior != {input_fingerprint}:
+            raise ValueError(
+                f"manifest for stage '{stage}' records input"
+                f" {sorted(prior)}, refusing to resume with"
+                f" '{input_fingerprint}' — resuming a different input"
+                " would mix two corpora in one out_dir"
+            )
+    orphans = _reconcile_orphan_buckets(out_dir, stage, done)
     bucketed = with_bucket(df, bucket_col, n_buckets)
     todo = bucketed
     if done:
@@ -119,6 +175,7 @@ def run_stage_checkpointed(
         "stage": stage,
         "buckets_skipped": len(done),
         "buckets_completed": len(after),
+        "buckets_reclaimed": len(orphans),
         "wall_ms": wall_ms,
     }
 

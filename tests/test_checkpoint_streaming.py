@@ -37,6 +37,58 @@ def test_checkpoint_resume_skips_completed(spark, tmp_path):
     assert total == len(transcripts)
 
 
+def test_checkpoint_resume_refuses_different_input(spark, tmp_path):
+    """Resuming with a different input_fingerprint must be refused —
+    filling remaining buckets from another corpus would silently mix
+    two inputs in one out_dir."""
+    transcripts, _alt, _lex = make_fixture(n_convs=4)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt_fp")
+    run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=4, input_fingerprint="corpusA"
+    )
+    with pytest.raises(ValueError, match="mix two corpora"):
+        run_stage_checkpointed(
+            spark, df, out, "assemble", n_buckets=4,
+            input_fingerprint="corpusB",
+        )
+
+
+def test_checkpoint_orphan_buckets_reclaimed_not_duplicated(
+    spark, tmp_path
+):
+    """Crash window between the data-job commit and the manifest append:
+    bucket partitions with no manifest row are reclaimed and recomputed
+    exactly once — never append-duplicated."""
+    import shutil
+
+    transcripts, _alt, _lex = make_fixture(n_convs=6)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt_orphan")
+    run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx"
+    )
+    # simulate: the data job committed but the manifest write never
+    # happened (driver killed in the window)
+    shutil.rmtree(f"{out}/_manifest")
+    summary = run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx"
+    )
+    assert summary["buckets_reclaimed"] > 0
+    got = read_stage(spark, out, "assemble")
+    assert got.count() == len(transcripts)  # complete, zero duplicates
+    assert (
+        got.select("conv_id", "turn_idx").distinct().count()
+        == len(transcripts)
+    )
+
+
 def test_streaming_correct(spark, tmp_path):
     transcripts, _alt, lexicon = make_fixture(n_convs=4)
     src = str(tmp_path / "src")
@@ -293,11 +345,12 @@ def test_cli_resume_flag_end_to_end(spark, tmp_path):
         ],
         "conv_id string, turn_idx int, text string, ts timestamp",
     )
-    full_path = str(tmp_path / "full.parquet")
-    part_path = str(tmp_path / "part.parquet")
+    # ONE input path throughout (a real kill+resume reruns the same
+    # spark-submit line; the resume lineage check refuses a different
+    # input_fingerprint by design)
+    in_path = str(tmp_path / "in.parquet")
     lex_path = str(tmp_path / "lex.parquet")
     out = str(tmp_path / "out")
-    df.write.parquet(full_path)
     spark.createDataFrame(lexicon, "token string, freq bigint").write.parquet(
         lex_path
     )
@@ -308,22 +361,25 @@ def test_cli_resume_flag_end_to_end(spark, tmp_path):
         r["_bucket"] for r in bucketed.select("_bucket").distinct().collect()
     )
     half = buckets[: len(buckets) // 2]
-    df.join(
+    part = df.join(
         bucketed.where(F.col("_bucket").isin(half))
         .select("conv_id")
         .distinct(),
         "conv_id",
-    ).write.parquet(part_path)
-    main([part_path, lex_path, out])
+    )
+    part.write.parquet(in_path)
+    main([in_path, lex_path, out])
     done_after_kill = completed_buckets(spark, out, "corrected_turns")
     assert set(done_after_kill) == set(half)
 
     # a fresh (non-resume) run into the same out_dir is refused
     with pytest.raises(SystemExit, match="--resume"):
-        main([full_path, lex_path, out])
+        main([in_path, lex_path, out])
 
-    # --resume completes exactly the missing buckets
-    main([full_path, lex_path, out, "--resume"])
+    # the full input arrives at the same path; --resume completes
+    # exactly the missing buckets
+    df.write.mode("overwrite").parquet(in_path)
+    main([in_path, lex_path, out, "--resume"])
     got = spark.read.parquet(f"{out}/corrected_turns")
     assert got.count() == len(transcripts)  # complete, no duplicates
     assert got.select("conv_id", "turn_idx").distinct().count() == len(

@@ -595,6 +595,29 @@ def test_connected_components_clusters_chained_dups(spark):
     assert set(got2.values()) == {1}
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    return partially-propagated (cluster-splitting) labels; checkpoint
+    storage is released as rounds supersede each other."""
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # a converging run leaves at most the returned labels + epsilon
+    # persisted (superseded rounds are released eagerly, not GC-deferred)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    connected_components(chain).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 2
+
+
 def test_connected_components_matches_union_find_on_random_graphs(spark):
     """Randomized (seeded) graphs: the distributed min-label propagation
     must equal a plain union-find computed driver-side."""

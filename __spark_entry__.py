@@ -1496,7 +1496,66 @@ def _q_repetition_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_SQL_REPETITION = """
+# ---- shared DuckDB oracle fragments for the textstats family ----
+# ONE definition each for tokenization, line splitting, stopword sets,
+# the lang-vote CASE, and the top-2-gram CTE chain, so a tokenizer or
+# tie-break tweak cannot desynchronize the composite gate's oracle from
+# the per-operator oracles (the r2 top-2-gram ranking fix had to be
+# applied twice when these were copy-pasted — ADVICE r3).
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+)
+_SQL_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)),"
+    " x -> trim(x)), x -> x <> '')"
+)
+# CTE chain over a source relation exposing (doc_id, toks); defines
+# grams/counted/top where top has (doc_id, covered, rn) and rn=1 is the
+# winning 2-gram: ranked by count desc (gram asc tie-break), coverage =
+# cnt * gram length (ADVICE r2: rank by frequency, not by coverage)
+_SQL_TOP2GRAM_CTES = """grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM {src} WHERE len(toks) >= 2),
+counted AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, cnt * length(gram) AS covered,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram) AS rn
+  FROM counted)"""
+
+
+def _sql_lang_vote() -> tuple[str, str]:
+    """(hit_exprs, lang_case) over a ``toks`` column: per-language
+    stopword hit counts and the arg-max vote CASE."""
+    langs = sorted(ts_ops.LANG_STOPWORDS)
+    hit_exprs = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in ts_ops.LANG_STOPWORDS[lg])
+        hit_exprs.append(
+            f"len(list_filter(toks, t -> t IN ({words}))) AS hits_{lg}"
+        )
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'"
+        for lg in langs
+    ) + " ELSE 'und' END"
+    return ", ".join(hit_exprs), case
+
+
+def _sql_all_stops() -> str:
+    return ", ".join(
+        f"'{w}'"
+        for w in sorted(
+            {w for ws in ts_ops.LANG_STOPWORDS.values() for w in ws}
+        )
+    )
+
+
+def _sql_repetition() -> str:
+    return f"""
 WITH d AS (
   SELECT doc_id,
          text || chr(10) || substring(text, 1, 30)
@@ -1504,10 +1563,8 @@ WITH d AS (
   FROM documents),
 l AS (
   SELECT doc_id, text,
-         list_filter(list_transform(string_split(text, chr(10)),
-                                    x -> trim(x)), x -> x <> '') AS lines,
-         list_filter(string_split_regex(lower(text), '\\s+'),
-                     t -> t <> '') AS toks
+         {_SQL_LINES} AS lines,
+         {_SQL_TOKS} AS toks
   FROM d),
 base AS (
   SELECT doc_id, text,
@@ -1519,17 +1576,7 @@ base AS (
                                           x -> length(x))), 0)
            AS chars_distinct
   FROM l),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                i -> toks[i] || ' ' || toks[i+1])) AS gram
-  FROM l WHERE len(toks) >= 2),
-counted AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-top AS (
-  SELECT doc_id, cnt * length(gram) AS covered,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY cnt DESC, gram) AS rn
-  FROM counted)
+{_SQL_TOP2GRAM_CTES.format(src='l')}
 SELECT b.doc_id,
        CAST(floor((n_lines - n_distinct) * 10000
                   / greatest(n_lines, 1)) AS BIGINT) AS dup_line_bp,
@@ -1554,24 +1601,12 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _sql_lang_id() -> str:
-    langs = sorted(ts_ops.LANG_STOPWORDS)
-    hit_exprs = []
-    for lg in langs:
-        words = ", ".join(f"'{w}'" for w in ts_ops.LANG_STOPWORDS[lg])
-        hit_exprs.append(
-            f"len(list_filter(toks, t -> t IN ({words}))) AS hits_{lg}"
-        )
-    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'" for lg in langs
-    ) + " ELSE 'und' END"
+    hit_exprs, case = _sql_lang_vote()
     return f"""
 WITH t AS (
-  SELECT lang,
-         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-           AS toks
+  SELECT lang, {_SQL_TOKS} AS toks
   FROM documents),
-h AS (SELECT lang, {', '.join(hit_exprs)} FROM t),
+h AS (SELECT lang, {hit_exprs} FROM t),
 p AS (SELECT lang, {case} AS lang_pred FROM h)
 SELECT lang, lang_pred, count(*) AS n FROM p
 GROUP BY lang, lang_pred ORDER BY lang, lang_pred
@@ -1586,15 +1621,10 @@ def _q_quality(spark, sf_dir):
 
 
 def _sql_quality() -> str:
-    all_stop = sorted(
-        {w for ws in ts_ops.LANG_STOPWORDS.values() for w in ws}
-    )
-    stops = ", ".join(f"'{w}'" for w in all_stop)
+    stops = _sql_all_stops()
     return f"""
 WITH t AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-           AS toks
+  SELECT doc_id, text, {_SQL_TOKS} AS toks
   FROM documents),
 m AS (
   SELECT doc_id,
@@ -1651,31 +1681,16 @@ def _q_quality_gate(spark, sf_dir):
 
 
 def _sql_quality_gate() -> str:
-    langs = sorted(ts_ops.LANG_STOPWORDS)
-    hit_exprs = []
-    for lg in langs:
-        words = ", ".join(f"'{w}'" for w in ts_ops.LANG_STOPWORDS[lg])
-        hit_exprs.append(
-            f"len(list_filter(toks, t -> t IN ({words}))) AS hits_{lg}"
-        )
-    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'" for lg in langs
-    ) + " ELSE 'und' END"
-    all_stop = sorted(
-        {w for ws in ts_ops.LANG_STOPWORDS.values() for w in ws}
-    )
-    stops = ", ".join(f"'{w}'" for w in all_stop)
+    hit_exprs, case = _sql_lang_vote()
+    stops = _sql_all_stops()
     return f"""
 WITH t AS (
-  SELECT doc_id, text,
-         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-           AS toks
+  SELECT doc_id, text, {_SQL_TOKS} AS toks
   FROM documents),
 h AS (
   SELECT doc_id, len(toks) AS n_tokens,
          len(list_filter(toks, t -> t IN ({stops}))) AS n_stopword,
-         {', '.join(hit_exprs)}
+         {hit_exprs}
   FROM t),
 l AS (
   SELECT doc_id, n_tokens,
@@ -1684,25 +1699,13 @@ l AS (
          {case} AS lang_pred
   FROM h),
 ln AS (
-  SELECT doc_id, text,
-         list_filter(list_transform(string_split(text, chr(10)),
-                                    x -> trim(x)), x -> x <> '') AS lines
+  SELECT doc_id, text, {_SQL_LINES} AS lines
   FROM documents),
 rep_base AS (
   SELECT doc_id, text, len(lines) AS n_lines,
          len(list_distinct(lines)) AS n_distinct
   FROM ln),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                i -> toks[i] || ' ' || toks[i+1])) AS gram
-  FROM t WHERE len(toks) >= 2),
-counted AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-top AS (
-  SELECT doc_id, cnt * length(gram) AS covered,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY cnt DESC, gram) AS rn
-  FROM counted),
+{_SQL_TOP2GRAM_CTES.format(src='t')},
 rep AS (
   SELECT b.doc_id,
          CAST(floor((n_lines - n_distinct) * 10000
@@ -2057,6 +2060,7 @@ def _q_minhash_lsh(spark, sf_dir):
         num_hashes=32,
         bands=16,
         verify="exact",
+        prefilter_margin=0.3,  # opt-in pre-prune (VERDICT r2 item 6)
     )
 
 
@@ -2286,20 +2290,29 @@ WITH p AS (
               || '@mail.example or call +45 5550-'
               || lpad(doc_id::VARCHAR, 4, '0') AS t
   FROM documents),
-r AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(t,
+s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-           '<EMAIL>', 'g'),
-           '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{2,8}', '<PHONE>', 'g'),
-           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
-           '<IP>', 'g') AS redacted
-  FROM p)
-SELECT doc_id, redacted,
-       (len(string_split(redacted, '<EMAIL>')) - 1
-        + len(string_split(redacted, '<PHONE>')) - 1
-        + len(string_split(redacted, '<IP>')) - 1)::INTEGER AS n_redactions
-FROM r ORDER BY doc_id
+           '<EMAIL>', 'g') AS t1
+  FROM p),
+s2 AS (
+  SELECT *, regexp_replace(t1,
+           '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{2,8}',
+           '<PHONE>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t2,
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+         '<IP>', 'g') AS redacted,
+       (len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(t1,
+            '\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{2,8}'))
+        + len(regexp_extract_all(t2,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+       )::INTEGER AS n_redactions
+FROM s2 ORDER BY doc_id
 """
 
 
@@ -2581,7 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_cosine": _SQL_ANN,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
-        "repetition_stats": _SQL_REPETITION,
+        "repetition_stats": _sql_repetition(),
         "token_count": _SQL_TOKEN_COUNTS,
         "fingerprint": _SQL_FINGERPRINT,
         "multimodal_features": _SQL_MULTIMODAL,

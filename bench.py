@@ -512,10 +512,15 @@ def _write_bench_md(out: dict) -> None:
             + "."
         )
     lines.append("")
-    lines.append(
-        """Round-3 regression call-outs: sim_srp_lsh_topk (3.1x) and dedup_embedding_srp (1.6x) are the DELIBERATE price of multi-band SRP probing (VERDICT r2 item 5): signatures grew 8->24 / 6->12 bits and candidates now OR across 6 / 2 bands, lifting candidate recall at cos~0.9 from ~0.29 to ~0.99 for the top-k; the exact re-rank is unchanged and both stay oracle-verified.  Quiet-window isolated re-measures: 5.6s / 2.6s.  dedup_minhash_lsh improved from the estimate pre-prune (quiet-window isolated: 3.3s)."""
-    )
-    lines.append("")
+    # Narrative analysis (regression explanations, one-off measured
+    # sections like the bucketed-layout comparison) lives in
+    # BENCH_NOTES.md, maintained by hand and appended verbatim — the
+    # generator must not bake any round's measured numbers into text it
+    # re-emits on every future run.
+    notes_path = os.path.join(os.path.dirname(__file__), "BENCH_NOTES.md")
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            lines.extend([f.read().rstrip(), ""])
     if out.get("whale"):
         wh = out["whale"]
         lines.extend(

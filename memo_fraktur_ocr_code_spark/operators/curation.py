@@ -224,15 +224,19 @@ def redact_pii(
 
     A pure narrow projection — ``regexp_replace`` chains JVM-side with
     no shuffle, so redaction composes with the scan at any corpus size.
-    ``n_redactions`` counts placeholder insertions (int), so a
-    downstream filter can quarantine PII-dense documents."""
+    ``n_redactions`` counts the pattern MATCHES stage by stage
+    (``regexp_count`` before each replacement) — never by re-finding
+    the placeholder in the output, so pre-existing placeholder-shaped
+    text is not miscounted and custom tags containing regex
+    metacharacters are safe.  Replacement tags are escaped against
+    Java's ``$``/``\\`` group-reference syntax."""
     pats = PII_PATTERNS if patterns is None else patterns
     red = F.col(text_col)
-    for pat, tag in pats:
-        red = F.regexp_replace(red, pat, tag)
     n = F.lit(0)
-    for _, tag in pats:
-        n = n + F.size(F.split(red, tag, -1)) - 1
+    for pat, tag in pats:
+        n = n + F.regexp_count(red, F.lit(pat))
+        safe_tag = tag.replace("\\", "\\\\").replace("$", "\\$")
+        red = F.regexp_replace(red, pat, safe_tag)
     return df.select(
         F.col(id_col),
         red.alias("redacted"),

@@ -197,7 +197,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     verify: str = "estimate",
-    prefilter_margin: float | None = 0.3,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket equi-join for candidates,
     then a Jaccard filter.  Shuffles scale with candidates, not n².
@@ -211,12 +211,16 @@ def minhash_lsh_pairs(
     (id_a, id_b, inter, size_a, size_b) — integers only, so cross-engine
     value hashes can't drift on float formatting.
 
-    ``prefilter_margin`` (exact mode only): candidates whose signature
-    ESTIMATE falls below ``threshold - prefilter_margin`` are dropped
-    before the expensive shingle-join verification — the estimate is
-    already paid for (signatures are cached), and it prunes the
-    low-similarity bucket collisions that dominate the verify join's
-    input (VERDICT r2 item 6).  Set to None to verify every candidate.
+    ``prefilter_margin`` (exact mode only; OPT-IN, default None =
+    verify every candidate): candidates whose signature ESTIMATE falls
+    below ``threshold - prefilter_margin`` are dropped before the
+    expensive shingle-join verification — the estimate is already paid
+    for (signatures are cached), and it prunes the low-similarity
+    bucket collisions that dominate the verify join's input (VERDICT r2
+    item 6).  Opt-in because it adds the estimate-tail miss probability
+    below to exact mode's recall — significant at low ``num_hashes``
+    (≈1% missed true pairs at j=0.7 with num_hashes=16) — so the caller
+    should choose it with a margin sized to their hash count.
 
     Recall bounds (ADVICE r2): equality with a from-scratch exact-Jaccard
     join holds up to (a) LSH candidate recall 1-(1-j^rows)^bands — with

@@ -164,9 +164,15 @@ def srp_lsh_topk(
     ``1 - (1 - p^band_bits)^bands`` instead of the single-bucket
     ``p^bits``.  The band explode is pipelined row amplification on the
     corpus scan (never a shuffle); the broadcast query side keeps the
-    candidate join shuffle-free, and duplicate (query, neighbor) hits
-    from multiple bands collapse in the same aggregation that ranks.
-    The exact re-rank keeps returned ranks truthful."""
+    candidate join shuffle-free.  Duplicate (query, neighbor) hits from
+    multiple bands are collapsed by a ``distinct`` BEFORE the ranking
+    window; scoring happens map-side before that dedup shuffle — a
+    deliberate trade: the expected band-duplication factor for random
+    collisions is ≈1.2 (near-neighbors hit several bands but are few),
+    so recomputing a duplicate's dot product costs less than shuffling
+    dim-sized vector arrays through a pre-scoring dedup.  At ``bands=1``
+    no duplicates can exist and the distinct is skipped.  The exact
+    re-rank keeps returned ranks truthful."""
     assert bits % bands == 0, "bits must split evenly into bands"
     band_bits = bits // bands
     v = vectors.select(
@@ -200,9 +206,10 @@ def srp_lsh_topk(
                 6,
             ).alias("score"),
         )
-        # collapse multi-band duplicates: score is deterministic per pair
-        .distinct()
     )
+    if bands > 1:
+        # collapse multi-band duplicates: score is deterministic per pair
+        cand = cand.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))

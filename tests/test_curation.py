@@ -165,6 +165,25 @@ def test_redact_pii_replaces_and_counts(spark):
     assert out[4].n_redactions == 0
 
 
+def test_redact_pii_counts_matches_not_placeholders(spark):
+    """Counting is per-stage on matches, so pre-existing placeholder
+    text is not miscounted and metacharacter tags are safe."""
+    df = _docs(spark, [(1, "already has <EMAIL> literal"),
+                       (2, "mail a@b.org now")])
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_redactions == 0  # no actual email matched
+    assert out[1].redacted == "already has <EMAIL> literal"
+    assert out[2].n_redactions == 1
+    # custom tag with regex metacharacters ($, character class)
+    custom = [(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[$EM]")]
+    out2 = {
+        r.doc_id: r for r in redact_pii(df, patterns=custom).collect()
+    }
+    assert out2[2].redacted == "mail [$EM] now"
+    assert out2[2].n_redactions == 1
+    assert out2[1].n_redactions == 0
+
+
 def test_redact_pii_plan_has_no_shuffle(spark):
     df = _docs(spark, [(1, "a@b.dk")])
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()

@@ -118,6 +118,21 @@ def main():
         "top-2-gram mode is one hash-aggregate shuffle on (doc, gram) + a "
         "doc-partitioned window — scales with corpus, never corpus².",
     )
+    add(
+        "Benchmark decontamination (decontaminate_bench)",
+        e.extra_queries()["decontaminate_bench"](spark, sf),
+        "The benchmark gram set is a BroadcastExchange; training-corpus "
+        "grams are pipelined posexplode off the scan (no shuffle) and "
+        "only matching hits enter the per-doc count aggregation — "
+        "shuffle ∝ contamination hits, not corpus size.",
+    )
+    add(
+        "Token-budget pack assignment (pack_token_budget)",
+        e.extra_queries()["pack_token_budget"](spark, sf),
+        "The running-sum window is PARTITIONED by shard (hash exchange "
+        "on shard, never SinglePartition) — per-shard quota packing "
+        "parallelizes to n_shards at any corpus size.",
+    )
 
     out = (
         "# Physical plan audits (`.explain('formatted')`, local[4],"

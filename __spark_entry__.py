@@ -1777,6 +1777,111 @@ def _q_sim_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_sim_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN over a TRAINED coarse codebook: 2 deterministic Lloyd
+    iterations (similarity.kmeans_centroids — exact fixed-point per-list
+    means, engine-portable) feed ivf_topk's ``centroids`` parameter.
+    The oracle unrolls the same 2 iterations in SQL, so the trained
+    centroids — and therefore assignments, probes, and final ranks —
+    are recomputed independently end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    cents = sim_ops.kmeans_centroids(corpus, dim=64, n_lists=8, iters=2)
+    return sim_ops.ivf_topk(
+        corpus,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_probe=2,
+        centroids=cents,
+    )
+
+
+def _sql_ivf_trained_topk(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of the trained-codebook IVF: unrolls ``iters`` Lloyd
+    rounds with the identical exact-fixed-point mean arithmetic
+    (floor-quantize to 1e-6, associative integer sums, explicit floor
+    division), then the same probe + exact re-rank as _sql_ivf_topk."""
+    sim_vc = (
+        f"{_sql_vec_dot('vv', 'cv', dim)}"
+        f" / (sqrt({_sql_vec_dot('vv', 'vv', dim)})"
+        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
+    )
+    sim_qc = (
+        f"{_sql_vec_dot('qv', 'cv', dim)}"
+        f" / (sqrt({_sql_vec_dot('qv', 'qv', dim)})"
+        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
+    )
+    sums = ", ".join(
+        f"sum(CAST(floor(vv[{d + 1}] * 1000000) AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+    means = ", ".join(
+        f"CAST(floor((s{d} - ((s{d} % n) + n) % n) / n) AS BIGINT)"
+        f" / 1000000.0"
+        for d in range(dim)
+    )
+    cte = ""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        cte += f""",
+a{it} AS (
+  SELECT neighbor_id, vv, list_id
+  FROM (SELECT neighbor_id, vv, list_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM v CROSS JOIN {prev} AS c) t
+  WHERE rn = 1),
+s{it} AS (SELECT list_id, count(*) AS n, {sums} FROM a{it} GROUP BY list_id),
+c{it} AS (
+  SELECT {prev}.list_id,
+         CASE WHEN s{it}.n IS NULL THEN {prev}.cv ELSE [{means}] END AS cv
+  FROM {prev} LEFT JOIN s{it} USING (list_id))"""
+        prev = f"c{it}"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE vec_id >= 10),
+c0 AS (
+  SELECT neighbor_id AS list_id, vv AS cv
+  FROM v ORDER BY neighbor_id LIMIT {n_lists}){cte},
+assigned AS (
+  SELECT neighbor_id, vv, list_id
+  FROM (SELECT neighbor_id, vv, list_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM v CROSS JOIN {prev} AS c) t
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, list_id
+  FROM (SELECT query_id, qv, list_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {sim_qc} DESC, list_id) AS rn
+        FROM q CROSS JOIN {prev} AS c) t
+  WHERE rn <= {n_probe}),
+cand AS (
+  SELECT query_id, neighbor_id, {_sql_cosine("qv", "vv", dim)} AS score
+  FROM assigned JOIN probes USING (list_id)),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _q_f1_discard_filter(spark, sf_dir):
     """F1 — the production entry gate (run_ocr_pipeline.py:38-44): drop
     documents whose metadata row is flagged discard/quarantine, via a
@@ -2533,6 +2638,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       budgets (partitioned running-sum window)
     * redact_pii — email/phone/IPv4 placeholder redaction over planted
       deterministic PII
+    * sim_ivf_trained_topk — IVF ANN over a k-means-TRAINED codebook
+      (2 deterministic Lloyd iterations, exact fixed-point means;
+      oracle unrolls the same training in SQL)
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2546,6 +2654,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_token_budget": _q_pack_tokens,
         "redact_pii": _q_redact_pii,
+        "sim_ivf_trained_topk": _q_sim_ivf_trained_topk,
     }
 
 
@@ -2605,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED,
         "pack_token_budget": _SQL_PACK_TOKENS,
         "redact_pii": _SQL_REDACT_PII,
+        "sim_ivf_trained_topk": _sql_ivf_trained_topk(),
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),

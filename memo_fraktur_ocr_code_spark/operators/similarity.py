@@ -219,29 +219,40 @@ def srp_lsh_topk(
     )
 
 
-def ivf_topk(
+def kmeans_centroids(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
+    dim: int,
     n_lists: int = 16,
-    n_probe: int = 4,
+    iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantization into ``n_lists`` inverted lists,
-    query probes its ``n_probe`` nearest lists, exact re-rank inside.
+    """Deterministic distributed Lloyd iterations → (list_id, cv): the
+    trained coarse codebook for :func:`ivf_topk`'s ``centroids``
+    parameter (upgrading its k-means-free min-id pick).
 
-    Centroids are chosen deterministically (the ``n_lists`` corpus vectors
-    with the smallest ids — a k-means-free coarse codebook; at real scale
-    substitute trained centroids, the plan shape is identical).  The pick
-    is a distributed TakeOrdered (``orderBy + limit``), never a global
-    ``row_number`` window — an unpartitioned window would funnel the whole
-    corpus through one task (VERDICT r2 item 2).  The centroid's own id
-    doubles as its list id: list ids only need to be stable, not dense,
-    and id order is isomorphic to a dense 0..n-1 numbering so probe
-    tie-breaks are unchanged.  Corpus assignment is a broadcast argmax;
-    candidate retrieval is an equi-join on list id — shuffle scales with
-    probed candidates, not |corpus|."""
+    Engine-portable determinism is the design constraint — centroid
+    components must come out bit-identical on Spark and the DuckDB
+    oracle, so per-list means avoid float-sum order entirely: each
+    component is quantized to a 1e-6 fixed-point BIGINT (``floor(x*1e6)``),
+    summed exactly (integer addition is associative — partition order
+    can't change the result), floor-divided by the member count with an
+    explicit two's-complement-safe formula (Spark ``DIV`` truncates
+    toward zero while DuckDB ``//`` floors — both are bypassed), and
+    rescaled; the resulting doubles are exact multiples of 1e-6.
+
+    Scale shape per iteration: one broadcast-argmax assignment over the
+    corpus (no corpus shuffle — ``n_lists`` centroids broadcast) + one
+    aggregation keyed by ``(list_id, dimension)`` over the posexploded
+    quantized components — map-side partial sums collapse each
+    partition to ``n_lists × dim`` rows before the shuffle, and the
+    narrow single-column sum stays inside whole-stage codegen (the
+    alternative, ``dim`` separate aggregate columns, blows Janino's
+    64 KB method limit at dim=64 and drops the whole stage to
+    interpreted mode).  A list that attracts no members keeps its
+    previous centroid (deterministic empty-cluster rule).  Init = the
+    ``n_lists`` smallest-id vectors (window-free TakeOrdered), whose
+    ids double as stable list ids."""
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double_array(vec_col).alias("vv"),
@@ -253,6 +264,103 @@ def ivf_topk(
             F.col("neighbor_id").alias("list_id"), F.col("vv").alias("cv")
         )
     )
+    assign_w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_sim"), "list_id"
+    )
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .select(
+                "neighbor_id", "vv", "list_id",
+                (
+                    _dot(F.col("vv"), F.col("cv"))
+                    / (_norm(F.col("vv")) * _norm(F.col("cv")))
+                ).alias("c_sim"),
+            )
+            .withColumn("rn", F.row_number().over(assign_w))
+            .where(F.col("rn") == 1)
+        )
+        comp = (
+            assigned.select(
+                "list_id",
+                F.posexplode(
+                    F.expr(
+                        "transform(vv,"
+                        " x -> CAST(floor(x * 1000000) AS BIGINT))"
+                    )
+                ).alias("d", "qv"),
+            )
+            .groupBy("list_id", "d")
+            .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
+            # exact integer floor division (Spark DIV truncates toward
+            # zero, so spell out floor semantics), then rescale: q/1e6
+            # is exact in a double for |q| < 2^52
+            .select(
+                "list_id",
+                "d",
+                (
+                    F.expr("CAST((s - ((s % n) + n) % n) / n AS BIGINT)")
+                    / F.lit(1000000.0)
+                ).alias("m"),
+            )
+        )
+        trained = comp.groupBy("list_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda st: st["m"],
+            ).alias("new_cv")
+        )
+        cents = (
+            cents.join(trained, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce("new_cv", "cv").alias("cv"),
+            )
+        )
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into ``n_lists`` inverted lists,
+    query probes its ``n_probe`` nearest lists, exact re-rank inside.
+
+    Default centroids are chosen deterministically (the ``n_lists``
+    corpus vectors with the smallest ids — a k-means-free coarse
+    codebook); pass ``centroids`` (a ``(list_id, cv)`` frame, e.g. from
+    :func:`kmeans_centroids`) for a trained codebook — the plan shape is
+    identical.  The default pick is a distributed TakeOrdered
+    (``orderBy + limit``), never a global ``row_number`` window — an
+    unpartitioned window would funnel the whole corpus through one task
+    (VERDICT r2 item 2).  The centroid's own id doubles as its list id:
+    list ids only need to be stable, not dense, and id order is
+    isomorphic to a dense 0..n-1 numbering so probe tie-breaks are
+    unchanged.  Corpus assignment is a broadcast argmax; candidate
+    retrieval is an equi-join on list id — shuffle scales with probed
+    candidates, not |corpus|."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vv"),
+    )
+    if centroids is not None:
+        cents = centroids.select("list_id", "cv")
+    else:
+        cents = (
+            v.orderBy("neighbor_id")
+            .limit(n_lists)
+            .select(
+                F.col("neighbor_id").alias("list_id"),
+                F.col("vv").alias("cv"),
+            )
+        )
     def _sim(a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 

@@ -595,6 +595,54 @@ def test_connected_components_clusters_chained_dups(spark):
     assert set(got2.values()) == {1}
 
 
+def test_kmeans_centroids_deterministic_fixed_point(spark):
+    """Trained IVF codebook: engine-portable determinism — identical
+    across runs, every component an exact 1e-6 fixed-point multiple,
+    and an empty list keeps its previous centroid."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [-1.0, 0.05, 0.0]),
+        (10, [0.9, 0.1, 0.0]),
+        (11, [0.95, -0.05, 0.0]),
+        (12, [0.88, 0.12, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    a = {
+        r.list_id: list(r.cv)
+        for r in kmeans_centroids(df, dim=3, n_lists=2, iters=2).collect()
+    }
+    b = {
+        r.list_id: list(r.cv)
+        for r in kmeans_centroids(df, dim=3, n_lists=2, iters=2).collect()
+    }
+    assert a == b  # deterministic across runs
+    assert set(a) == {0, 1}  # init ids double as list ids
+    for cv in a.values():
+        for x in cv:
+            assert abs(x * 1e6 - round(x * 1e6)) < 1e-9  # exact 1e-6 grid
+    # every corpus vector points roughly at +x except vec 1: list 0
+    # attracts the mass, list 1 keeps exactly its own member
+    assert a[1] == [-1.0, 0.05, 0.0]
+    # list 0's centroid moved to the floor-quantized mean of its members
+    members = [rows[0][1], rows[2][1], rows[3][1], rows[4][1]]
+    import math
+
+    want0 = [
+        math.floor(
+            sum(math.floor(m[d] * 1e6) for m in members) / len(members)
+        )
+        / 1e6
+        for d in range(3)
+    ]
+    assert a[0] == want0
+
+
 def test_connected_components_nonconvergence_is_loud(spark):
     """Exhausting max_iter with labels still moving must raise, never
     return partially-propagated (cluster-splitting) labels; checkpoint

@@ -172,8 +172,15 @@ def get_word_suggestion(
         # even when the ('gammel','hud') bigram is frequent)
         top = word.lower()
     else:
+        # k=None: the documented contract is reranking over the FULL
+        # candidate set — a top-5 prune would hide exactly the crowded
+        # cases where a context-supported candidate sorts low (ADVICE
+        # r3); lookup_candidates enumerates all candidates anyway, so
+        # the prune saved nothing
         top = bigram_rerank(
-            prev_token, lookup_candidates(index, word), bigram_counts
+            prev_token,
+            lookup_candidates(index, word, k=None),
+            bigram_counts,
         )
     if top is not None:
         suggestion = transfer_casing(word, top)
@@ -393,11 +400,24 @@ def lookup_compound(term: str, index: SymSpellIndex) -> str:
     re-inserted), else keep the word.  The reference flags this path as
     brittle and ships it disabled; we keep it surface-complete.
     """
-    out = []
+    return " ".join(o for _, o in lookup_compound_tokens(term, index))
+
+
+def lookup_compound_tokens(
+    term: str, index: SymSpellIndex
+) -> list[tuple[str, str]]:
+    """Per-input-word compound correction: ``[(input_word, output)]``
+    where output is the corrected word or, for a binary split, two
+    dictionary words joined by a space.  The pairing is the point —
+    a split changes the output's word COUNT, and any consumer that
+    re-tokenizes the joined output and zips it against the input
+    desynchronizes after the split (ADVICE r3); this keeps the 1:1
+    input-word mapping explicit."""
+    out: list[tuple[str, str]] = []
     for word in term.split():
         w = word.lower()
         if len(word) <= 1 or w in index.words:
-            out.append(word)
+            out.append((word, word))
             continue
         top = index.lookup_top(word)
         top_d = (
@@ -406,7 +426,7 @@ def lookup_compound(term: str, index: SymSpellIndex) -> str:
             else index.max_edit + 1
         )
         if top is not None and top_d <= 1:
-            out.append(transfer_casing(word, top))
+            out.append((word, transfer_casing(word, top)))
             continue
         # prefer an exact two-word segmentation over a far-edit suggestion
         best_split = None
@@ -417,33 +437,48 @@ def lookup_compound(term: str, index: SymSpellIndex) -> str:
                 if best_split is None or score > best_split[0]:
                     best_split = (score, f"{a} {b}")
         if best_split is not None:
-            out.append(best_split[1])
+            out.append((word, best_split[1]))
         elif top is not None and top_d <= index.max_edit:
-            out.append(transfer_casing(word, top))
+            out.append((word, transfer_casing(word, top)))
         else:
-            out.append(word)
-    return " ".join(out)
+            out.append((word, word))
+    return out
 
 
 def line_correct_text(text: str, index: SymSpellIndex) -> str:
     """Line-level compound correction with punctuation splice-back
     (correct_ocr.py:316-332 ``spell_corrected`` + :378-383).  The
-    reference's index-error-prone splice is re-specified safely: words are
-    replaced positionally, punctuation and spacing of the original line
+    reference's index-error-prone splice is re-specified safely: the
+    splice walks ``lookup_compound_tokens``'s explicit per-input-word
+    pairs, so a binary split (one word → two) substitutes its own word
+    and cannot desynchronize later replacements — the previous global
+    zip of re-tokenized output silently corrupted every word after a
+    split (ADVICE r3).  Punctuation and spacing of the original line
     are preserved."""
     import re as _re
 
     word_split = _re.compile(r"[^\W\d_]+|[\w]+", _re.U)
     out_lines = []
     for line in text.splitlines():
-        corrected = lookup_compound(line, index)
-        in_list = word_split.findall(line)
-        chk_list = word_split.findall(corrected)
         new_line = line
-        for orig_w, new_w in zip(in_list, chk_list):
-            if len(orig_w) > 1 and orig_w != new_w:
-                new_line = _re.sub(
-                    rf"\b{_re.escape(orig_w)}\b", new_w, new_line, count=1
-                )
+        for orig_word, repl in lookup_compound_tokens(line, index):
+            if orig_word == repl:
+                continue
+            oc = word_split.findall(orig_word)
+            rc = word_split.findall(repl)
+            if len(oc) == len(rc):
+                # core-for-core (the common single-word correction)
+                for orig_w, new_w in zip(oc, rc):
+                    if len(orig_w) > 1 and orig_w != new_w:
+                        new_line = _re.sub(
+                            rf"\b{_re.escape(orig_w)}\b",
+                            new_w,
+                            new_line,
+                            count=1,
+                        )
+            else:
+                # word count changed (binary split): replace the whole
+                # original word once, literally
+                new_line = new_line.replace(orig_word, repl, 1)
         out_lines.append(new_line)
     return "\n".join(out_lines)

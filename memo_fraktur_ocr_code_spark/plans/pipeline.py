@@ -123,6 +123,18 @@ def correct_pipeline(
     )
 
 
+def _lexicon_broadcasts(spark, lexicon_pairs, needed: bool):
+    """Build + broadcast the SymSpell deletion index only when a kernel
+    will actually dereference it (``do_sym`` needs the index,
+    ``do_hard`` with an alt channel needs the top-600 guard set).  The
+    do_easy-only configuration previously still paid the full
+    O(V × prefix-deletes) driver-side build and the executor broadcast
+    for an index no kernel reads (ADVICE r3)."""
+    if needed:
+        return broadcast_lexicon(spark, lexicon_pairs)
+    return None, None
+
+
 def _correct_pipeline_staged(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -141,7 +153,10 @@ def _correct_pipeline_staged(
     if prebuilt is not None:
         bc_index, bc_guard, bc_bigrams = prebuilt
     else:
-        bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+        bc_index, bc_guard = _lexicon_broadcasts(
+            spark, lexicon_pairs,
+            do_sym or (do_hard and alt_transcripts is not None),
+        )
         bc_bigrams = (
             spark.sparkContext.broadcast(dict(bigram_pairs))
             if bigram_pairs is not None
@@ -152,7 +167,32 @@ def _correct_pipeline_staged(
     if do_easy:
         df = df.withColumn("text", correct_easy_col("text"))
     if do_hard and alt_transcripts is not None:
-        alt = assemble_transcripts(alt_transcripts)
+        # Project the alt channel onto the BASE turn grid BEFORE
+        # assembly (oracle spec.py:105-112, matching both fused plans):
+        # alt-only turns are dropped, base turns missing from alt get an
+        # empty slot — blocking cross-turn hyphen merges exactly where
+        # the oracle blocks them — and slots inherit the base row's ts
+        # so assembly walks both channels in the identical stable order.
+        # Assembling alt over its OWN grid diverges byte-wise whenever
+        # the grids differ (ADVICE r3).  Duplicate (conv_id, turn_idx)
+        # alt rows collapse deterministically via max(text); duplicate
+        # alt keys are outside the channel contract.
+        alt_one = alt_transcripts.groupBy("conv_id", "turn_idx").agg(
+            F.max("text").alias("_alt_text")
+        )
+        has_ts = "ts" in transcripts.columns
+        grid = transcripts.select(
+            "conv_id", "turn_idx", *(["ts"] if has_ts else [])
+        )
+        alt_proj = grid.join(
+            alt_one, ["conv_id", "turn_idx"], "left"
+        ).select(
+            "conv_id",
+            "turn_idx",
+            *(["ts"] if has_ts else []),
+            F.coalesce("_alt_text", F.lit("")).alias("text"),
+        )
+        alt = assemble_transcripts(alt_proj)
         df = correct_hard(df, alt, bc_guard)
     if do_sym:
         df = sym_wordcorrect(df, bc_index, bc_bigrams)
@@ -175,30 +215,47 @@ def _correct_pipeline_skew_routed(
 ) -> DataFrame:
     """Route each conversation whole to the plan that handles its length:
     byte-equality is preserved because both plans are byte-equal per
-    conversation and no conversation is split across plans."""
-    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    conversation and no conversation is split across plans.
+
+    The whale-id list is computed ONCE, eagerly, on the driver
+    (pathological conversations are few by definition — that premise is
+    what makes the router correct at all): the previous lazy
+    ``long_ids`` DataFrame was re-aggregated from scratch by each of
+    the four branch joins (ADVICE r3).  Literal ``isin`` filters also
+    let the scans prune instead of building four broadcast joins."""
+    use_alt = do_hard and alt_transcripts is not None
+    bc_index, bc_guard = _lexicon_broadcasts(
+        spark, lexicon_pairs, do_sym or use_alt
+    )
     bc_bigrams = (
         spark.sparkContext.broadcast(dict(bigram_pairs))
         if bigram_pairs is not None
         else None
     )
     prebuilt = (bc_index, bc_guard, bc_bigrams)
-    long_ids = (
-        transcripts.groupBy("conv_id")
+    long_list = [
+        r["conv_id"]
+        for r in transcripts.groupBy("conv_id")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > long_conv_threshold)
         .select("conv_id")
-    )
-    t_short = transcripts.join(F.broadcast(long_ids), "conv_id", "left_anti")
-    t_long = transcripts.join(F.broadcast(long_ids), "conv_id", "left_semi")
+        .collect()
+    ]
+    if not long_list:
+        # no whales: the partition walk handles everything — skip the
+        # staged branch entirely
+        return _correct_pipeline_partition(
+            spark, transcripts, alt_transcripts, lexicon_pairs,
+            do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
+            prebuilt=prebuilt,
+        )
+    is_long = F.col("conv_id").isin(long_list)
+    t_short = transcripts.where(~is_long)
+    t_long = transcripts.where(is_long)
     a_short = a_long = None
     if alt_transcripts is not None:
-        a_short = alt_transcripts.join(
-            F.broadcast(long_ids), "conv_id", "left_anti"
-        )
-        a_long = alt_transcripts.join(
-            F.broadcast(long_ids), "conv_id", "left_semi"
-        )
+        a_short = alt_transcripts.where(~is_long)
+        a_long = alt_transcripts.where(is_long)
     short_out = _correct_pipeline_partition(
         spark, t_short, a_short, lexicon_pairs,
         do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
@@ -223,13 +280,15 @@ def _correct_pipeline_fused(
     bigram_pairs: dict | None = None,
     augment: tuple | None = None,
 ) -> DataFrame:
-    bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+    use_alt = do_hard and alt_transcripts is not None
+    bc_index, bc_guard = _lexicon_broadcasts(
+        spark, lexicon_pairs, do_sym or use_alt
+    )
     bc_bigrams = (
         spark.sparkContext.broadcast(dict(bigram_pairs))
         if bigram_pairs is not None
         else None
     )
-    use_alt = do_hard and alt_transcripts is not None
 
     def kernel(base_pdf: pd.DataFrame, alt_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(base_pdf) == 0:  # conv present only in the alt channel
@@ -319,16 +378,18 @@ def _correct_pipeline_partition(
     shuffle size = inputs once, kernel overhead amortized over full
     2k-row batches, no per-group pandas construction.
     """
+    use_alt = do_hard and alt_transcripts is not None
     if prebuilt is not None:
         bc_index, bc_guard, bc_bigrams = prebuilt
     else:
-        bc_index, bc_guard = broadcast_lexicon(spark, lexicon_pairs)
+        bc_index, bc_guard = _lexicon_broadcasts(
+            spark, lexicon_pairs, do_sym or use_alt
+        )
         bc_bigrams = (
             spark.sparkContext.broadcast(dict(bigram_pairs))
             if bigram_pairs is not None
             else None
         )
-    use_alt = do_hard and alt_transcripts is not None
 
     has_ts = "ts" in transcripts.columns
     base = transcripts.select(
@@ -344,7 +405,19 @@ def _correct_pipeline_partition(
             "turn_idx",
             F.col("text"),
             F.lit(1).alias("side"),
-            *([F.lit(None).cast("timestamp").alias("ts")] if has_ts else []),
+            # the ts contract is "orderable", not "timestamp" — fill the
+            # alt side with a typed NULL of whatever type the base
+            # carries (a hardcoded timestamp cast broke unionByName for
+            # e.g. bigint epoch columns; ADVICE r3)
+            *(
+                [
+                    F.lit(None)
+                    .cast(transcripts.schema["ts"].dataType)
+                    .alias("ts")
+                ]
+                if has_ts
+                else []
+            ),
         )
         u = base.unionByName(alt)
     else:

@@ -72,6 +72,83 @@ def test_pipeline_byte_equality(spark, flags, fused):
     _compare(spark, transcripts, alt_rows, lexicon, fused=fused, **flags)
 
 
+def test_mismatched_alt_grid_byte_equality(spark):
+    """The alt channel's turn grid can differ from the base grid (turns
+    missing from alt, alt-only turns).  The oracle projects alt onto
+    the BASE grid before assembly (spec.py:105-112); every physical
+    plan must do the same — the staged plan once assembled alt over its
+    own grid, letting an alt-only turn donate a hyphen continuation the
+    oracle never sees (ADVICE r3)."""
+    import datetime as dt
+
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
+    ts0 = dt.datetime(2024, 1, 1)
+    # Crafted conv: the base token 'lob' triggers the o→ø char transfer
+    # ONLY if the alt channel's 'l-' merges with the alt-only
+    # continuation 'øb' — i.e. only if alt is assembled over its own
+    # grid instead of the base grid.  An un-projected plan corrects
+    # 'lob'→'løb'; the oracle leaves 'lob'.
+    transcripts = transcripts + [
+        {
+            "conv_id": "convGRID", "turn_idx": 0, "role": "user",
+            "text": "abc lob", "tool": "none", "ts": ts0,
+        },
+        {
+            "conv_id": "convGRID", "turn_idx": 1, "role": "assistant",
+            "text": "noget andet", "tool": "none",
+            "ts": ts0 + dt.timedelta(minutes=1),
+        },
+    ]
+    alt_rows = alt_rows + [
+        {"conv_id": "convGRID", "turn_idx": 0, "text": "abc l-"},
+        # missing turn 1 (base turn without an alt slot) and a
+        # genuinely alt-only turn far beyond the base grid
+        {"conv_id": "convGRID", "turn_idx": 100, "text": "øb resten"},
+    ]
+    # also drop one fixture conv's last alt turn (missing-slot case on
+    # organic data)
+    drop = ("conv0000", max(
+        r["turn_idx"] for r in alt_rows if r["conv_id"] == "conv0000"
+    ))
+    alt_rows = [
+        r for r in alt_rows
+        if (r["conv_id"], r["turn_idx"]) != drop
+    ]
+    for fused in (True, "cogroup", False):
+        _compare(spark, transcripts, alt_rows, lexicon, fused=fused)
+
+
+def test_nontimestamp_ts_column_all_plans(spark):
+    """The stable-order contract needs ts to be ORDERABLE, not a
+    timestamp: bigint epoch-seconds must work in every plan (the
+    partition plan once hardcoded a timestamp cast for the alt filler
+    and died at analysis time on union; ADVICE r3)."""
+    transcripts, alt_rows, lexicon = make_fixture(n_convs=3)
+    epoch = [
+        dict(r, ts=int(r["ts"].timestamp())) for r in transcripts
+    ]
+    tdf = spark.createDataFrame(
+        epoch,
+        schema="conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts bigint",
+    )
+    adf = spark.createDataFrame(
+        alt_rows, schema="conv_id string, turn_idx int, text string"
+    )
+    outs = {}
+    for fused in (True, "cogroup", False):
+        outs[fused] = sorted(
+            map(
+                tuple,
+                correct_pipeline(
+                    spark, tdf, adf, lexicon, fused=fused
+                ).collect(),
+            )
+        )
+    assert outs[True] == outs["cogroup"] == outs[False]
+    assert len(outs[True]) == len(transcripts)
+
+
 def test_pipeline_row_count_and_schema(spark):
     transcripts, alt_rows, lexicon = make_fixture(n_convs=4)
     tdf, adf = _to_dfs(spark, transcripts, alt_rows)
@@ -151,6 +228,47 @@ def test_bigram_context_flips_a_correction(spark):
     )
     assert plain == ["gammel hus"]  # TOP: highest count wins
     assert ctx == ["gammel hud"]  # context flips to the supported bigram
+
+
+def test_bigram_rerank_sees_candidates_beyond_top5(spark):
+    """The rerank contract is the FULL candidate set: a context-backed
+    candidate sorting 7th by (distance, count) must still win (the old
+    top-5 prune silently disabled context exactly in crowded cases —
+    ADVICE r3)."""
+    from memo_fraktur_ocr_code_spark.functions.symspell import (
+        SymSpellIndex,
+        get_word_suggestion,
+    )
+
+    lex = [("i", 500)] + [
+        (t, c)
+        for t, c in zip(
+            ["hus", "hua", "hub", "huc", "hud", "hue", "huf"],
+            [70, 65, 60, 55, 50, 45, 40],
+        )
+    ]
+    idx = SymSpellIndex.from_pairs(lex)
+    got = get_word_suggestion(
+        "hux",
+        idx,
+        bigram_counts={("i", "huf"): 3},
+        prev_token="i",
+    )
+    assert got == "huf"  # rank 7 by TOP order, but the context pick
+
+
+def test_easy_only_mode_needs_no_lexicon(spark):
+    """The do_easy-only configuration must not build or broadcast the
+    SymSpell deletion index (ADVICE r3); passing lexicon_pairs=None
+    proves no code path touches it in any plan."""
+    transcripts, _alt, _lex = make_fixture(n_convs=3)
+    tdf, _ = _to_dfs(spark, transcripts, [])
+    for fused in (True, "cogroup", False):
+        out = correct_pipeline(
+            spark, tdf, None, None,
+            do_hard=False, do_sym=False, fused=fused,
+        )
+        assert out.count() == len(transcripts)
 
 
 def test_skew_routed_auto_plan_equality(spark):

@@ -133,6 +133,25 @@ def test_lookup_compound_and_line_correct():
     assert line_correct_text("tyste mand, ja!", idx) == "tyske mand, ja!"
 
 
+def test_line_correct_split_does_not_desync_later_words():
+    """A binary split (one word → two) must splice only its own word —
+    the old global zip of re-tokenized output shifted every later pair,
+    rewriting correct words (ADVICE r3: 'ethus stor mand' destroyed
+    'mand' and replaced 'stor')."""
+    idx = SymSpellIndex.from_pairs(
+        [("et", 70), ("hus", 60), ("stor", 50), ("mand", 40)]
+    )
+    assert lookup_compound("ethus stor mand", idx) == "et hus stor mand"
+    assert (
+        line_correct_text("ethus stor mand!", idx) == "et hus stor mand!"
+    )
+    # split mid-line, punctuation elsewhere preserved, later correction
+    # still lands on the right word
+    assert (
+        line_correct_text("ethus tand, et!", idx) == "et hus mand, et!"
+    )
+
+
 def test_readers(spark, tmp_path):
     from memo_fraktur_ocr_code_spark.sources.readers import (
         read_conll,

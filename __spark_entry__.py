@@ -1821,9 +1821,12 @@ def _sql_ivf_trained_topk(
         f"sum(CAST(floor(vv[{d + 1}] * 1000000) AS BIGINT)) AS s{d}"
         for d in range(dim)
     )
+    # pure integer quotient (// is exact on BIGINTs and shares Spark
+    # DIV's truncation semantics; the dividend is an exact multiple of
+    # n so truncation == floor) — a float detour would lose exactness
+    # past 2^53
     means = ", ".join(
-        f"CAST(floor((s{d} - ((s{d} % n) + n) % n) / n) AS BIGINT)"
-        f" / 1000000.0"
+        f"((s{d} - ((s{d} % n) + n) % n) // n) / 1000000.0"
         for d in range(dim)
     )
     cte = ""
@@ -2351,7 +2354,12 @@ def _q_pack_tokens(spark, sf_dir):
 _SQL_PACK_TOKENS = """
 WITH b AS (
   SELECT doc_id,
-         (doc_id % 8)::INTEGER AS shard,
+         (list_sum([ ((strpos('0123456789abcdef',
+                              substring(md5('shard:' || doc_id::VARCHAR),
+                                        i, 1)) - 1)::BIGINT
+                      << (4 * (8 - i)))
+                     FOR i IN range(1, 9) ])::BIGINT % 8)::INTEGER
+           AS shard,
          len(list_filter(string_split_regex(text, '\\s+'),
                          t -> t <> ''))::BIGINT AS n_tokens
   FROM documents),

@@ -69,12 +69,15 @@ def freq_breakdown(df: DataFrame, col: str) -> DataFrame:
 def novel_quality_rollup(df: DataFrame) -> DataFrame:
     """A5 — per-conversation mean ratio and match rate
     (analyze_gold_vrt.py:140-147).  Integer-safe: sums + counts exposed,
-    means derived by one division."""
+    means derived by one division.  Centipoints ROUND before the cast —
+    ratios are 2-dp doubles whose IEEE representation sits a hair below
+    the decimal value (0.29 stores as 0.2899…), so a bare bigint cast
+    truncates 29 to 28 and biases every mean low (ADVICE r3)."""
     return (
         df.groupBy("conv_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum((F.col("ratio") * 100).cast("bigint")).alias(
+            F.sum(F.round(F.col("ratio") * 100).cast("bigint")).alias(
                 "ratio_cp_sum"
             ),
             F.sum(
@@ -211,8 +214,11 @@ def augmented_dictionary(
 ) -> DataFrame:
     """A10 — scaled corpus-frequency overlay onto the base dictionary
     (correct_ocr.py:236-256 / :269-286): scale corpus counts by the ratio
-    of top-50 sums, ceil, clamp to [lower, upper] on the *raw* corpus
-    count, overlay last-wins, re-sort."""
+    of top-50 sums, ceil, BAND-FILTER on the *raw* corpus count (only
+    tokens with ``lower <= freq <= upper`` are overlaid — tokens outside
+    the band keep their base frequency, exactly the reference's list
+    comprehension at correct_ocr.py:246; this is a filter, not a clamp),
+    overlay last-wins, re-sort."""
     base_top = top_n_sum(base, 50)
     corp_top = top_n_sum(corpus, 50)
     ratio = (

@@ -32,23 +32,33 @@ def asof_join(
     payload_cols: list[str],
 ) -> DataFrame:
     """Left as-of join: every left row + the payload of the latest right
-    row at or before its timestamp (NULLs when none)."""
-    l_tagged = left.select(
-        F.col(key).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
-          for c in payload_cols],
+    row at or before its timestamp (NULLs when none).
+
+    The payload is carried as ONE struct, not per-column: independent
+    per-column ``last(ignorenulls)`` would assemble a franken-row mixing
+    fields from different right rows whenever the latest right row has
+    a NULL in one payload column — and would resurrect an older value a
+    genuinely-NULL latest field should shadow (ADVICE r3).  A struct
+    with NULL fields is itself non-NULL, so the latest right ROW wins
+    wholesale, matching DuckDB's native ASOF semantics the oracle runs."""
+    payload_struct = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols]
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tagged.schema["_left"].dataType
-        ).alias("_left"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        payload_struct.alias("_p"),
+    )
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_p"].dataType).alias("_p"),
+        F.struct(*left.columns).alias("_left"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_left", F.lit(None).cast(l_tagged.schema["_left"].dataType)
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal ts (side 0 < 1) so an
@@ -59,18 +69,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "_k",
-        "_ts",
         "_side",
         "_left",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload_cols
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.where(F.col("_side") == 1).select(
         F.col("_left.*"),
-        *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col(f"_c.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
     return out
 

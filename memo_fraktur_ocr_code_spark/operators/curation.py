@@ -105,15 +105,20 @@ def decontaminate(
     )
 
 
-def sample_bucket(id_col, salt: str = "strat") -> F.Column:
-    """Deterministic 0..9999 bucket: first 32 bits of md5('salt:id'),
-    mod 10000.  md5 (not xxhash64) so the DuckDB oracle can recompute
-    the identical bucket from the same hex digits."""
+def _md5_mod(id_col, salt: str, mod: int) -> F.Column:
+    """Deterministic 0..mod-1 value: first 32 bits of md5('salt:id')
+    mod ``mod``.  md5 (not xxhash64) so the DuckDB oracle can recompute
+    the identical value from the same hex digits; the string cast makes
+    it id-type-agnostic (string conv_ids hash the same way bigint
+    doc_ids do)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     hx = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
-    return (
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % 10000
-    ).alias("bucket")
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % mod
+
+
+def sample_bucket(id_col, salt: str = "strat") -> F.Column:
+    """Deterministic 0..9999 sampling bucket (see :func:`_md5_mod`)."""
+    return _md5_mod(id_col, salt, 10000).alias("bucket")
 
 
 def stratified_sample(
@@ -178,9 +183,14 @@ def pack_token_budget(
     toks = F.size(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     )
+    # md5-hash the id into its shard rather than pmod on the raw column:
+    # pmod over a non-numeric id (string conv_ids are the corpus
+    # convention) silently yields NULL and funnels the whole corpus into
+    # one shard/one window task (ADVICE r3); the md5 route is
+    # id-type-agnostic and oracle-portable
     base = df.select(
         F.col(id_col).alias("id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        _md5_mod(id_col, "shard", n_shards).cast("int").alias("shard"),
         toks.cast("bigint").alias("n_tokens"),
     )
     w = (

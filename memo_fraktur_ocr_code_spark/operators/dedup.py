@@ -231,6 +231,11 @@ def minhash_lsh_pairs(
     invariants of the fixed test data (signatures are deterministic);
     on new data tolerate missed pairs within these bounds — see
     tests/test_operators.py's subset+recall assertion."""
+    assert num_hashes % bands == 0, (
+        "num_hashes must split evenly into bands — a remainder would"
+        " silently drop trailing hash functions from every band and"
+        " change the documented recall bound"
+    )
     rows = num_hashes // bands
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:

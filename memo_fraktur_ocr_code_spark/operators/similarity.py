@@ -292,14 +292,18 @@ def kmeans_centroids(
             )
             .groupBy("list_id", "d")
             .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
-            # exact integer floor division (Spark DIV truncates toward
-            # zero, so spell out floor semantics), then rescale: q/1e6
-            # is exact in a double for |q| < 2^52
+            # exact integer floor division in PURE integer arithmetic:
+            # (s - pmod) is an exact multiple of n, so DIV's
+            # truncate-toward-zero equals floor, and no double ever
+            # touches the quotient — a `/`-then-cast detour loses
+            # exactness once |s| exceeds 2^53 (10^9-member lists at 1e6
+            # quantization; ADVICE r3).  Spark DIV and DuckDB // share
+            # truncation semantics, so the oracle mirrors this verbatim.
             .select(
                 "list_id",
                 "d",
                 (
-                    F.expr("CAST((s - ((s % n) + n) % n) / n AS BIGINT)")
+                    F.expr("(s - ((s % n) + n) % n) DIV n")
                     / F.lit(1000000.0)
                 ).alias("m"),
             )

@@ -141,7 +141,11 @@ def run_stage_checkpointed(
     has_cer = "cer" in written.columns
     if has_cer:
         metric_aggs.append(
-            F.sum((F.col("cer") * 100).cast("bigint")).alias("cer_cp_sum")
+            # round, don't truncate: 2-dp doubles sit a hair below their
+            # decimal value and a bare cast biases the mean low
+            F.sum(F.round(F.col("cer") * 100).cast("bigint")).alias(
+                "cer_cp_sum"
+            )
         )
     text_col = next(
         (c for c in ("corrected_text", "text") if c in written.columns),

@@ -99,9 +99,14 @@ def evaluate_corrections(
     corrected: DataFrame,
     freqlist_forms=None,
 ) -> dict[str, DataFrame]:
-    """Full evaluation report as named DataFrames (lazy until read)."""
-    base_pairs = aligned_token_pairs(gold, base_ocr)
-    corr_pairs = aligned_token_pairs(gold, corrected)
+    """Full evaluation report as named DataFrames (lazy until read).
+
+    The two aligned-pair tables are cached: every report table roots in
+    them, and without the cache each of render_report's ~9 collects
+    re-runs the Python alignment kernels over the full corpus from
+    scratch (ADVICE r3) — an order of magnitude of wasted kernel work."""
+    base_pairs = aligned_token_pairs(gold, base_ocr).cache()
+    corr_pairs = aligned_token_pairs(gold, corrected).cache()
 
     base_ann = annotate_pair_measures(base_pairs)
     corr_ann = annotate_pair_measures(corr_pairs)
@@ -133,15 +138,19 @@ def evaluate_corrections(
         "precision_recall_f1": agg.precision_recall_f1(categorized),
         "error_cases": agg.error_cases(corr_ann),
         "same_char_aggregates": agg.same_char_aggregates(corr_ann),
+        # deterministic order: these feed render_report's limit(50) —
+        # unordered limit picks whichever partitions answer first and
+        # the rendered report would differ between identical runs
+        # (ADVICE r3)
         "missed_errors": categorized.where(
             F.col("finecategory") == "FalseNegMiss"
-        ),
+        ).orderBy("conv_id", "turn_idx", "word_idx"),
         "new_errors": categorized.where(
             F.col("finecategory") == "FalseNegWrong"
-        ),
+        ).orderBy("conv_id", "turn_idx", "word_idx"),
         "bad_corrections": categorized.where(
             F.col("finecategory") == "FalsePos"
-        ),
+        ).orderBy("conv_id", "turn_idx", "word_idx"),
     }
 
 

@@ -48,6 +48,13 @@ def render_report(
             for k, v in reports.items()
         }
     prf = reports["precision_recall_f1"].collect()[0]
+
+    def _r2(v) -> str:
+        # precision/recall/F1 are NULL when their denominator is 0
+        # (e.g. a run that changed nothing has no corrections at all);
+        # render n/a instead of crashing on round(None) (ADVICE r3)
+        return "n/a" if v is None else f"{round(v, 2)}"
+
     sections = [
         f"--------\n\n{param_str}\nlevcat breakdown (base OCR)\n",
         _fmt(reports["base_levcat_breakdown"]),
@@ -62,10 +69,10 @@ def render_report(
         f"\nError counts:\ntp {prf.tp}  fp {prf.fp}  fn {prf.fn}"
         f"  tn {prf.tn}",
         "\nPrecision (how many successful corrections out of all"
-        f" corrections?):\n{round(prf.precision, 2)}",
+        f" corrections?):\n{_r2(prf.precision)}",
         "\nRecall (how many errors did we successfully correct?):\n"
-        f"{round(prf.recall, 2)}",
-        f"\nF1 (overall performance):\n{round(prf.f1, 2)}",
+        f"{_r2(prf.recall)}",
+        f"\nF1 (overall performance):\n{_r2(prf.f1)}",
         "\nMissed errors:\n",
         _fmt(reports["missed_errors"]),
         "\nErrors replaced by new errors:\n",

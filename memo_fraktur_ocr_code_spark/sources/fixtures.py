@@ -171,6 +171,19 @@ def make_fixture(
                 base_lines.append(base_line)
                 alt_lines.append(alt_line)
 
+            # the donated hyphen fragment lands on the first TEXT line —
+            # BEFORE the blank/page-number injections, which simulate
+            # artifacts the scanner prepends to the page.  Prepending
+            # after the injections glued the fragment onto the injected
+            # page-number line, so that line stopped matching the
+            # pagenum filter and the planted clean_page_lines case never
+            # triggered (ADVICE r3).
+            if carry:
+                base_lines[0] = (
+                    f"{carry}{base_lines[0]}" if base_lines else carry
+                )
+                carry = ""
+
             # blank line + page-number top line injections
             if _h("blank", conv_id, t) % 5 == 0:
                 base_lines.insert(
@@ -178,12 +191,6 @@ def make_fixture(
                 )
             if _h("pgnum", conv_id, t) % 4 == 0:
                 base_lines.insert(0, f" {t % 200} ")
-
-            if carry:
-                base_lines[0] = (
-                    f"{carry}{base_lines[0]}" if base_lines else carry
-                )
-                carry = ""
 
             # end-of-turn hyphenation (cross-turn dehyphenation case)
             if t < n_turns - 1 and _h("xhyph", conv_id, t) % 7 == 0:

@@ -121,8 +121,17 @@ def test_pack_token_budget_quota_bins(spark):
 
 
 def test_pack_token_budget_shards_are_independent(spark):
-    df = _docs(spark, [(i, "w " * (i + 1)) for i in range(10)])
+    df = _docs(spark, [(i, "w " * (i + 1)) for i in range(40)])
     out = pack_token_budget(df, 100, n_shards=4).collect()
+    # md5-hashed sharding, replicated in Python (engine-portable)
+    def _shard(i):
+        return int(
+            hashlib.md5(f"shard:{i}".encode()).hexdigest()[:8], 16
+        ) % 4
+
+    assert {r.doc_id: r.shard for r in out} == {
+        i: _shard(i) for i in range(40)
+    }
     assert {r.shard for r in out} == {0, 1, 2, 3}
     # within a shard, pack_id is non-decreasing in doc order
     by_shard: dict[int, list] = {}
@@ -130,6 +139,20 @@ def test_pack_token_budget_shards_are_independent(spark):
         by_shard.setdefault(r.shard, []).append(r.pack_id)
     for packs in by_shard.values():
         assert packs == sorted(packs)
+
+
+def test_pack_token_budget_accepts_string_ids(spark):
+    """Sharding must hash, not pmod, the id — string conv_ids are the
+    corpus convention; pmod(string) silently NULLed every shard and
+    collapsed the window to one task (ADVICE r3)."""
+    df = spark.createDataFrame(
+        [(f"conv{i:04d}", "a b c") for i in range(12)],
+        "doc_id string, text string",
+    )
+    out = pack_token_budget(df, 5, n_shards=4, id_col="doc_id").collect()
+    assert len(out) == 12
+    assert all(r.shard is not None and 0 <= r.shard < 4 for r in out)
+    assert all(r.pack_id is not None and r.pack_id >= 0 for r in out)
 
 
 def test_pack_token_budget_window_is_partitioned(spark):

@@ -371,6 +371,34 @@ def test_embedding_cosine_dups_exact_and_lsh(spark):
     assert lsh <= exact and (0, 1) in lsh
 
 
+def test_asof_join_latest_row_wins_wholesale(spark):
+    """Multi-column payload must come from ONE right row — the latest —
+    even when that row has NULL fields: independent per-column carries
+    built franken-rows mixing fields across right rows and resurrected
+    values a NULL should shadow (ADVICE r3)."""
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "k", t0 + dt.timedelta(minutes=3))],
+        "event_id bigint, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", t0 + dt.timedelta(minutes=1), 1, 2),
+            ("k", t0 + dt.timedelta(minutes=2), None, 3),
+        ],
+        "user_id string, ts timestamp, a bigint, b bigint",
+    )
+    row = asof_join(
+        left, right, "user_id", "ts", "ts", ["a", "b"]
+    ).collect()[0]
+    # the latest right row is (NULL, 3): its NULL shadows the older a=1
+    assert row.asof_a is None and row.asof_b == 3
+
+
 def test_asof_join(spark):
     import datetime as dt
 

@@ -111,20 +111,25 @@ def transcripts_from_documents(
             " ",
         ).alias("clean"),
     ).where(F.col("clean") != "")
-    # deterministic noise: œ/ſ confusions + line structure + hyphenation
+    # deterministic noise: line structure + hyphenation FIRST (their
+    # trigger words must be matched in the clean text — after the
+    # character confusions 'scan' is 'ſcœn' and the rule is dead code,
+    # ADVICE r3), then the œ/ſ confusions over everything
     noisy = (
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
-                    F.regexp_replace(F.col("clean"), "a", "œ"),
-                    "s",
-                    "ſ",
+                    F.regexp_replace(
+                        F.col("clean"), " filter ", " fil-\nter "
+                    ),
+                    " scan ",
+                    " \n scan ",
                 ),
-                " filter ",
-                " fil-\nter ",
+                "a",
+                "œ",
             ),
-            " scan ",
-            " \n scan ",
+            "s",
+            "ſ",
         )
     )
     alt = F.regexp_replace(F.col("clean"), "e", "c")
@@ -2095,8 +2100,9 @@ WITH turns AS (
          replace(replace(replace(replace(
            array_to_string((string_split(text, ' '))[ti*per+1 : ti*per+per],
                            ' '),
-           'a', 'œ'), 's', 'ſ'), ' filter ', ' fil-' || chr(10) || 'ter '),
-           ' scan ', ' ' || chr(10) || ' scan ') AS text
+           ' filter ', ' fil-' || chr(10) || 'ter '),
+           ' scan ', ' ' || chr(10) || ' scan '),
+           'a', 'œ'), 's', 'ſ') AS text
   FROM (SELECT doc_id, text,
                greatest(CAST(floor(len(string_split(text, ' ')) / 4.0)
                              AS INT), 1) AS per

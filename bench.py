@@ -143,8 +143,17 @@ def run_headline(spark, sf_dir: str, lexicon) -> dict[str, float]:
                 _run_pipeline_count(spark, lexicon)
             else:
                 df = fn(spark, sf_dir)
-                # materialize every column cheaply
-                df.select(F.count("*")).collect()
+                # force FULL evaluation of every output column: a bare
+                # count(*) lets Catalyst prune the computed columns and
+                # drop sorts, timing pure-projection queries (regex
+                # chains, md5 fingerprints, windows) as a parquet row
+                # count (ADVICE r3).  xxhash64 over all columns pins
+                # every expression in the plan; the top-edge orderBy is
+                # still eliminated under the aggregate — acceptable,
+                # presentation-only.
+                df.select(
+                    F.xxhash64(*df.columns).alias("_h")
+                ).agg(F.expr("bit_xor(_h)")).collect()
             dt = time.time() - t0
             if best is None or dt < best:
                 best = dt
@@ -466,18 +475,16 @@ def _write_bench_md(out: dict) -> None:
         ),
         "",
         "Each time is the min of 2 draws (first-draw warmup + shared-VM"
-        " burst filter).  dedup_minhash_lsh keeps round 2's exact-Jaccard"
-        " candidate verification but now pre-prunes candidates on the"
-        " already-computed signature estimate before the shingle verify"
-        " join (VERDICT r2 item 6) — same verified output, smaller join.",
+        " burst filter); every query is materialized via an xxhash64"
+        " checksum over all its output columns, so the timed plan"
+        " computes every column (a bare count would let Catalyst prune"
+        " the actual work).",
         "",
         "Headline entries are single-window snapshots on a shared VM:"
-        " sub-second queries swing up to ~2× with co-tenant load (e.g."
-        " q1's pure parquet-pushdown scan has measured 0.35-1.5s across"
-        " this session), so per-query ratios near 1 are noise, not plan"
-        " changes.  The scaling number above is the robust one (paired"
-        " estimator).  Quietest observed session totals: 41.0s"
-        " (pipeline_correct_turns 17.9s).",
+        " sub-second queries swing up to ~2× with co-tenant load, so"
+        " per-query ratios near 1 are noise, not plan changes.  The"
+        " scaling number above is the robust one (paired estimator);"
+        " per-round narrative call-outs live in BENCH_NOTES.md below.",
         "",
         "| query | sec | prev round | ratio |",
         "| --- | --- | --- | --- |",

@@ -33,6 +33,12 @@ Flags (optional, any order after the positional args):
         and default to the conv-grouped cogroup plan — over same-bucket
         tables its two shuffles are elided entirely
         (tests/test_bucketed.py proves zero Exchange).
+  --iceberg  read <transcripts_path> as an Iceberg catalog identifier
+        (``db.table``) via ``format("iceberg")``.  Explicit, not
+        guessed: the old slash-count heuristic misrouted ordinary
+        relative paths like ``data/t.parquet`` to the Iceberg reader
+        and read real ``db.table`` identifiers as parquet paths
+        (ADVICE r3).  Default without the flag: parquet path.
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ def main(argv: list[str]) -> None:
     fused: bool | str = True
     resume = False
     bucketed = False
+    iceberg = False
     threshold = 1_000_000
     for o in opts:
         if o.startswith("--augment-per-conv"):
@@ -77,6 +84,8 @@ def main(argv: list[str]) -> None:
             resume = True
         elif o == "--bucketed-input":
             bucketed = True
+        elif o == "--iceberg":
+            iceberg = True
         else:
             raise SystemExit(f"unknown flag: {o}")
 
@@ -104,7 +113,7 @@ def main(argv: list[str]) -> None:
             fused = "cogroup"  # the plan whose shuffles buckets elide
     else:
         transcripts = spark.read.format(
-            "iceberg" if transcripts_path.count("/") == 1 else "parquet"
+            "iceberg" if iceberg else "parquet"
         ).load(transcripts_path)
         alt = spark.read.parquet(alt_path) if alt_path else None
     lexicon = load_lexicon(spark, lexicon_path)

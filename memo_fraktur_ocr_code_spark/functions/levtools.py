@@ -136,7 +136,14 @@ def osa_distance(a: str, b: str, max_dist: int | None = None) -> int:
 
 
 def cer_of_pair(lev: int, corr: str) -> float:
-    """CER = lev / len(correct) * 100, rounded 2dp (align_ocr.py:33-38)."""
+    """CER = lev / len(correct) * 100, rounded 2dp (align_ocr.py:33-38).
+
+    Reference-parity quirk, kept deliberately: an EMPTY gold string
+    returns CER 0 even when ``lev > 0`` (spurious OCR output against
+    empty gold scores as perfect) — this is the reference's own
+    ``get_cer`` guard (``if lev == 0 or not corr``), reproduced so CER
+    aggregates match the reference's numbers; pinned by
+    tests/test_kernels.py."""
     if lev == 0 or not corr:
         return 0.0
     return round(lev / len(corr) * 100, 2)

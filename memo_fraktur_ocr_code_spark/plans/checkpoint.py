@@ -4,18 +4,25 @@ The reference's incremental machinery is dated intermediate directories
 plus per-step booleans (run_eval_pipeline.py:50-100, README.md:189-203).
 At 10^12 turns that becomes: stage outputs bucketed by conv_id hash, plus
 a manifest table recording per-bucket lineage and metrics
-``(stage, bucket, rows_out, wall_ms, input_fingerprint, n_convs)``.
-Resume = anti-join the completed buckets — an executor/job failure never
-recomputes finished buckets (north_rule requirement).
+``(stage, bucket, n_buckets, rows_out, n_convs, cer_avg, chars_out,
+wall_ms, rows_per_sec, input_fingerprint)``.  Resume = anti-join the
+completed buckets — an executor/job failure never recomputes finished
+buckets (north_rule requirement).
 
-Bucketing by ``xxhash64(conv_id) % n_buckets`` keeps all turns of one
-conversation in one bucket, so a bucket is a self-contained unit of work
-for every conv-grouped stage.
+Bucketing by ``xxhash64(coalesce(conv_id, '')) % n_buckets`` keeps all
+turns of one conversation in one bucket, so a bucket is a self-contained
+unit of work for every conv-grouped stage (the coalesce keeps a NULL key
+out of Hive's ``__HIVE_DEFAULT_PARTITION__`` — a NULL bucket would crash
+reconcile and silently fall out of every ``isin`` predicate).
+
+All filesystem probes go through the Hadoop FileSystem API resolved from
+``out_dir``'s own scheme — ``os.path`` would silently report "nothing
+there" for hdfs:// or s3a:// out_dirs on a cluster, failing the entire
+refusal/resume contract open (ADVICE r3).
 """
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,19 +31,37 @@ from pyspark.sql import functions as F
 MANIFEST_DIR = "_manifest"
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path``, resolved by its scheme —
+    works identically for file://, hdfs:// and s3a:// URIs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def with_bucket(
     df: DataFrame, bucket_col: str = "conv_id", n_buckets: int = 32
 ) -> DataFrame:
     return df.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+        "_bucket",
+        F.pmod(
+            F.xxhash64(F.coalesce(F.col(bucket_col).cast("string"), F.lit(""))),
+            F.lit(n_buckets),
+        ),
     )
 
 
 def completed_buckets(
     spark: SparkSession, out_dir: str, stage: str
 ) -> set[int]:
-    path = os.path.join(out_dir, MANIFEST_DIR)
-    if not os.path.exists(path):
+    path = f"{out_dir}/{MANIFEST_DIR}"
+    if not _fs_exists(spark, path):
         return set()
     m = spark.read.parquet(path)
     return {
@@ -49,7 +74,7 @@ def completed_buckets(
 
 
 def _reconcile_orphan_buckets(
-    out_dir: str, stage: str, done: set[int]
+    spark: SparkSession, out_dir: str, stage: str, done: set[int]
 ) -> list[int]:
     """Delete data partitions whose bucket never reached the manifest.
 
@@ -60,20 +85,26 @@ def _reconcile_orphan_buckets(
     manifest row atomic isn't possible on a plain filesystem, so resume
     instead reconciles: any ``_bucket=K`` partition not recorded as
     complete is incomplete-by-contract and is dropped before compute.
-    Local-FS implementation; on an object store this is the same
-    prefix delete."""
-    import shutil
-
-    data_path = os.path.join(out_dir, stage)
-    if not os.path.exists(data_path):
+    Hadoop FS operations, so the same code reconciles local dirs and
+    object-store prefixes."""
+    data_path = f"{out_dir}/{stage}"
+    if not _fs_exists(spark, data_path):
         return []
+    fs, hpath = _fs_and_path(spark, data_path)
     orphans = []
-    for name in os.listdir(data_path):
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
         if not name.startswith("_bucket="):
             continue
-        b = int(name.split("=", 1)[1])
+        val = name.split("=", 1)[1]
+        try:
+            b = int(val)
+        except ValueError:
+            # foreign partition dir (should not occur: with_bucket never
+            # emits a NULL bucket) — leave it alone rather than guess
+            continue
         if b not in done:
-            shutil.rmtree(os.path.join(data_path, name))
+            fs.delete(status.getPath(), True)
             orphans.append(b)
     return sorted(orphans)
 
@@ -96,36 +127,50 @@ def run_stage_checkpointed(
     Resume safety: (a) bucket partitions on disk with no manifest row
     (a crash between the data commit and the manifest append) are
     deleted before compute, so they are recomputed exactly once instead
-    of duplicated; (b) if the manifest records a different
-    ``input_fingerprint`` for this stage, the run is refused — resuming
-    with a different input would silently mix two corpora in one
-    out_dir.
+    of duplicated; (b) a manifest recording a different
+    ``input_fingerprint`` for this stage refuses the run (no silent
+    corpus mixing); (c) a manifest recording a different ``n_buckets``
+    refuses the run — bucket ids are only meaningful within one hash
+    space, and reinterpreting them under a new modulus silently skips
+    never-written rows and duplicates already-written ones (ADVICE r3).
     """
     done = completed_buckets(spark, out_dir, stage)
-    if done and input_fingerprint:
-        prior = {
-            r["input_fingerprint"]
-            for r in spark.read.parquet(os.path.join(out_dir, MANIFEST_DIR))
-            .where(F.col("stage") == stage)
-            .select("input_fingerprint")
-            .distinct()
-            .collect()
-        }
-        prior.discard("")
-        if prior and prior != {input_fingerprint}:
-            raise ValueError(
-                f"manifest for stage '{stage}' records input"
-                f" {sorted(prior)}, refusing to resume with"
-                f" '{input_fingerprint}' — resuming a different input"
-                " would mix two corpora in one out_dir"
-            )
-    orphans = _reconcile_orphan_buckets(out_dir, stage, done)
+    if done:
+        m = spark.read.parquet(f"{out_dir}/{MANIFEST_DIR}").where(
+            F.col("stage") == stage
+        )
+        if input_fingerprint:
+            prior = {
+                r["input_fingerprint"]
+                for r in m.select("input_fingerprint").distinct().collect()
+            }
+            prior.discard("")
+            if prior and prior != {input_fingerprint}:
+                raise ValueError(
+                    f"manifest for stage '{stage}' records input"
+                    f" {sorted(prior)}, refusing to resume with"
+                    f" '{input_fingerprint}' — resuming a different input"
+                    " would mix two corpora in one out_dir"
+                )
+        if "n_buckets" in m.columns:
+            prior_n = {
+                r["n_buckets"]
+                for r in m.select("n_buckets").distinct().collect()
+            }
+            if prior_n and prior_n != {n_buckets}:
+                raise ValueError(
+                    f"manifest for stage '{stage}' was written with"
+                    f" n_buckets={sorted(prior_n)}, refusing to resume"
+                    f" with n_buckets={n_buckets} — bucket ids from one"
+                    " hash space are meaningless in another"
+                )
+    orphans = _reconcile_orphan_buckets(spark, out_dir, stage, done)
     bucketed = with_bucket(df, bucket_col, n_buckets)
     todo = bucketed
     if done:
         todo = bucketed.where(~F.col("_bucket").isin(sorted(done)))
     t0 = time.time()
-    data_path = os.path.join(out_dir, stage)
+    data_path = f"{out_dir}/{stage}"
     todo.write.partitionBy("_bucket").mode("append").parquet(data_path)
     wall_ms = int((time.time() - t0) * 1000)
 
@@ -140,40 +185,52 @@ def run_stage_checkpointed(
     ]
     has_cer = "cer" in written.columns
     if has_cer:
-        metric_aggs.append(
+        metric_aggs += [
             # round, don't truncate: 2-dp doubles sit a hair below their
             # decimal value and a bare cast biases the mean low
             F.sum(F.round(F.col("cer") * 100).cast("bigint")).alias(
                 "cer_cp_sum"
-            )
-        )
+            ),
+            # count the rows the sum actually saw: dividing a
+            # NULL-skipping sum by the all-rows count treats NULL CER as
+            # a perfect 0 and biases the mean low (ADVICE r3)
+            F.count("cer").alias("cer_n"),
+        ]
     text_col = next(
         (c for c in ("corrected_text", "text") if c in written.columns),
         None,
     )
     if text_col:
         metric_aggs.append(F.sum(F.length(text_col)).alias("chars_out"))
-    stats = (
-        written.groupBy("_bucket")
-        .agg(*metric_aggs)
-        .select(
-            F.lit(stage).alias("stage"),
-            F.col("_bucket").alias("bucket"),
-            "rows_out",
-            "n_convs",
-            (F.col("cer_cp_sum") / F.col("rows_out") / 100).alias("cer_avg")
-            if has_cer
-            else F.lit(None).cast("double").alias("cer_avg"),
-            F.col("chars_out")
-            if text_col
-            else F.lit(None).cast("bigint").alias("chars_out"),
-            F.lit(wall_ms).alias("wall_ms"),
-            (F.col("rows_out") * 1000.0 / F.greatest(F.lit(wall_ms), F.lit(1)))
-            .alias("rows_per_sec"),
-            F.lit(input_fingerprint).alias("input_fingerprint"),
+    bucket_rows = written.groupBy("_bucket").agg(*metric_aggs).collect()
+    # wall_ms is the RUN's wall clock (the buckets were written by one
+    # job, so per-bucket wall time does not exist); rows_per_sec is the
+    # run-level throughput, identical on every row by construction.
+    total_rows = sum(r["rows_out"] for r in bucket_rows)
+    run_rps = total_rows * 1000.0 / max(wall_ms, 1)
+    manifest = [
+        (
+            stage,
+            int(r["_bucket"]),
+            n_buckets,
+            int(r["rows_out"]),
+            int(r["n_convs"]),
+            (float(r["cer_cp_sum"]) / r["cer_n"] / 100)
+            if has_cer and r["cer_n"]
+            else None,
+            int(r["chars_out"]) if text_col else None,
+            wall_ms,
+            run_rps,
+            input_fingerprint,
         )
-    )
-    stats.write.mode("append").parquet(os.path.join(out_dir, MANIFEST_DIR))
+        for r in bucket_rows
+    ]
+    spark.createDataFrame(
+        manifest,
+        "stage string, bucket bigint, n_buckets int, rows_out bigint,"
+        " n_convs bigint, cer_avg double, chars_out bigint,"
+        " wall_ms bigint, rows_per_sec double, input_fingerprint string",
+    ).write.mode("append").parquet(f"{out_dir}/{MANIFEST_DIR}")
     after = completed_buckets(spark, out_dir, stage)
     return {
         "stage": stage,
@@ -185,4 +242,4 @@ def run_stage_checkpointed(
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, stage)).drop("_bucket")
+    return spark.read.parquet(f"{out_dir}/{stage}").drop("_bucket")

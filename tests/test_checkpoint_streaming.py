@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from memo_fraktur_ocr_code_spark.plans.checkpoint import (
     completed_buckets,
@@ -55,6 +56,49 @@ def test_checkpoint_resume_refuses_different_input(spark, tmp_path):
             spark, df, out, "assemble", n_buckets=4,
             input_fingerprint="corpusB",
         )
+
+
+def test_checkpoint_resume_refuses_different_n_buckets(spark, tmp_path):
+    """Bucket ids are only meaningful within one hash space — resuming
+    with a different n_buckets must be refused (reinterpreting old ids
+    under a new modulus skips and duplicates rows)."""
+    transcripts, _alt, _lex = make_fixture(n_convs=4)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt_nb")
+    run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx"
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_stage_checkpointed(
+            spark, df, out, "assemble", n_buckets=32,
+            input_fingerprint="fx",
+        )
+
+
+def test_checkpoint_null_conv_id_rows_survive(spark, tmp_path):
+    """A NULL conv_id must land in a real numeric bucket (not Hive's
+    default partition, which crashed reconcile and fell out of every
+    isin predicate) and must survive a full write+resume round trip."""
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), (None, 0, "b"), (None, 1, "c")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt_null")
+    run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=4, input_fingerprint="fx"
+    )
+    got = read_stage(spark, out, "assemble")
+    assert got.count() == 3
+    assert got.where(F.col("conv_id").isNull()).count() == 2
+    # resume over the same input: everything done, nothing duplicated
+    r2 = run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=4, input_fingerprint="fx"
+    )
+    assert r2["buckets_reclaimed"] == 0
+    assert read_stage(spark, out, "assemble").count() == 3
 
 
 def test_checkpoint_orphan_buckets_reclaimed_not_duplicated(

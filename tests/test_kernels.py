@@ -90,6 +90,10 @@ def test_levenshtein_and_ratio():
 def test_cer_defs_distinct():
     assert cer_of_pair(1, "tyske") == 20.0
     assert cer_of_pair(0, "x") == 0.0
+    # reference-parity quirk (align_ocr.py:33-38): empty gold → CER 0
+    # even with nonzero edits — pinned so the deviation-from-intuition
+    # is documented, not silent
+    assert cer_of_pair(5, "") == 0.0
     assert cer_from_ratio(0.8) == 0.2
 
 

@@ -2342,6 +2342,34 @@ ORDER BY doc_id
 """
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (default 90/5/5 in basis
+    points) from the md5 bucket — the oracle recomputes bucket and the
+    cumulative-range CASE independently."""
+    from memo_fraktur_ocr_code_spark.operators.curation import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ranges follow sorted(weights) = [test, train, val]: test [0,500),
+# train [500,9500), val [9500,10000)
+_SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+         list_sum([ ((strpos('0123456789abcdef',
+                             substring(md5('split:' || doc_id::VARCHAR),
+                                       i, 1)) - 1)::BIGINT
+                     << (4 * (8 - i)))
+                    FOR i IN range(1, 9) ])::BIGINT % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 500 THEN 'test'
+            WHEN bucket < 9500 THEN 'train'
+            ELSE 'val' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def _q_pack_tokens(spark, sf_dir):
     """Token-budget pack assignment for training-shard assembly: docs
     hashed into 8 shards, quota-packed at 200 tokens within each shard.
@@ -2655,6 +2683,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * sim_ivf_trained_topk — IVF ANN over a k-means-TRAINED codebook
       (2 deterministic Lloyd iterations, exact fixed-point means;
       oracle unrolls the same training in SQL)
+    * split_assign — deterministic train/val/test assignment, stable
+      under corpus growth
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2669,6 +2699,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": _q_pack_tokens,
         "redact_pii": _q_redact_pii,
         "sim_ivf_trained_topk": _q_sim_ivf_trained_topk,
+        "split_assign": _q_split_assign,
     }
 
 
@@ -2729,6 +2760,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_budget": _SQL_PACK_TOKENS,
         "redact_pii": _SQL_REDACT_PII,
         "sim_ivf_trained_topk": _sql_ivf_trained_topk(),
+        "split_assign": _SQL_SPLIT_ASSIGN,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_embedding_srp": _sql_dedup_srp(),
         "sim_srp_lsh_topk": _sql_srp_topk(),

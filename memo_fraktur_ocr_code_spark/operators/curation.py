@@ -157,6 +157,46 @@ def stratified_sample(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    weights_bp: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: every row gains a
+    ``split`` label chosen by where its md5 bucket falls in the
+    cumulative weight ranges (basis points, must sum to 10000; default
+    9000/500/500 train/val/test).
+
+    Same engine-portable bucket as :func:`stratified_sample`, so the
+    assignment is reproducible across runs, engines, and corpus
+    *growth*: a document's split never changes when other documents are
+    added or removed — the property that keeps eval sets stable while a
+    crawl corpus is continuously extended.  Pure narrow projection, no
+    shuffle."""
+    weights = (
+        {"train": 9000, "val": 500, "test": 500}
+        if weights_bp is None
+        else weights_bp
+    )
+    total = sum(weights.values())
+    assert total == 10000, f"weights_bp must sum to 10000, got {total}"
+    bucket = _md5_mod(id_col, salt, 10000)
+    expr = None
+    acc = 0
+    # deterministic range order: sorted by name so the mapping is a
+    # function of the weights alone, not dict insertion order
+    for name in sorted(weights):
+        acc += weights[name]
+        cond = bucket < acc
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    return df.select(
+        F.col(id_col), bucket.alias("bucket"), expr.alias("split")
+    )
+
+
 def pack_token_budget(
     df: DataFrame,
     budget: int,

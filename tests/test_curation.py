@@ -11,6 +11,7 @@ from memo_fraktur_ocr_code_spark.operators.curation import (
     decontaminate,
     pack_token_budget,
     redact_pii,
+    split_assign,
     stratified_sample,
     word_ngram_table,
 )
@@ -211,6 +212,38 @@ def test_redact_pii_plan_has_no_shuffle(spark):
     df = _docs(spark, [(1, "a@b.dk")])
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_split_assign_matches_replica_and_is_growth_stable(spark):
+    """Split labels must match the Python md5 replica exactly AND be
+    invariant under corpus growth: adding rows never moves an existing
+    row's split (the property that keeps eval sets stable while a crawl
+    corpus is extended)."""
+
+    def _label(i):
+        b = int(
+            hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16
+        ) % 10000
+        return "test" if b < 500 else ("train" if b < 9500 else "val")
+
+    small = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id bigint, lang string"
+    )
+    big = spark.createDataFrame(
+        [(i, "en") for i in range(400)], "doc_id bigint, lang string"
+    )
+    s = {r.doc_id: r.split for r in split_assign(small).collect()}
+    assert s == {i: _label(i) for i in range(200)}
+    b = {r.doc_id: r.split for r in split_assign(big).collect()}
+    assert all(b[i] == s[i] for i in range(200))  # growth-stable
+    # custom weights, and the sum guard
+    w = {"train": 5000, "heldout": 5000}
+    out = split_assign(small, w).collect()
+    assert {r.split for r in out} <= {"train", "heldout"}
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="sum to 10000"):
+        split_assign(small, {"train": 9000})
 
 
 def test_stratified_sample_plan_is_narrow_filter(spark):

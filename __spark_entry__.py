@@ -2308,6 +2308,20 @@ ORDER BY d.doc_id
 """
 
 
+def _sql_md5_mod(salt: str, mod: int, id_expr: str = "doc_id::VARCHAR") -> str:
+    """DuckDB twin of ``curation._md5_mod``: first 32 bits of
+    md5('salt:id') mod ``mod``, reconstructed from the hex nibbles.
+    ONE definition — this fragment is engine-portability-critical and
+    was previously copy-pasted per oracle (ADVICE r3)."""
+    return (
+        "list_sum([ ((strpos('0123456789abcdef',"
+        f" substring(md5('{salt}:' || {id_expr}),"
+        " i, 1)) - 1)::BIGINT"
+        " << (4 * (8 - i)))"
+        f" FOR i IN range(1, 9) ])::BIGINT % {mod}"
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: per-language keep rates in
     basis points against bucket = first-32-bits(md5('strat:id')) mod
@@ -2325,14 +2339,10 @@ def _q_stratified_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_SQL_STRATIFIED = """
+_SQL_STRATIFIED = f"""
 WITH b AS (
   SELECT doc_id, lang,
-         list_sum([ ((strpos('0123456789abcdef',
-                             substring(md5('strat:' || doc_id::VARCHAR),
-                                       i, 1)) - 1)::BIGINT
-                     << (4 * (8 - i)))
-                    FOR i IN range(1, 9) ])::BIGINT % 10000 AS bucket
+         {_sql_md5_mod('strat', 10000)} AS bucket
   FROM documents)
 SELECT doc_id, lang, bucket
 FROM b
@@ -2353,14 +2363,10 @@ def _q_split_assign(spark, sf_dir):
 
 # ranges follow sorted(weights) = [test, train, val]: test [0,500),
 # train [500,9500), val [9500,10000)
-_SQL_SPLIT_ASSIGN = """
+_SQL_SPLIT_ASSIGN = f"""
 WITH b AS (
   SELECT doc_id,
-         list_sum([ ((strpos('0123456789abcdef',
-                             substring(md5('split:' || doc_id::VARCHAR),
-                                       i, 1)) - 1)::BIGINT
-                     << (4 * (8 - i)))
-                    FOR i IN range(1, 9) ])::BIGINT % 10000 AS bucket
+         {_sql_md5_mod('split', 10000)} AS bucket
   FROM documents)
 SELECT doc_id, bucket,
        CASE WHEN bucket < 500 THEN 'test'
@@ -2385,15 +2391,10 @@ def _q_pack_tokens(spark, sf_dir):
     return pack_token_budget(docs, budget=200, n_shards=8).orderBy("doc_id")
 
 
-_SQL_PACK_TOKENS = """
+_SQL_PACK_TOKENS = f"""
 WITH b AS (
   SELECT doc_id,
-         (list_sum([ ((strpos('0123456789abcdef',
-                              substring(md5('shard:' || doc_id::VARCHAR),
-                                        i, 1)) - 1)::BIGINT
-                      << (4 * (8 - i)))
-                     FOR i IN range(1, 9) ])::BIGINT % 8)::INTEGER
-           AS shard,
+         ({_sql_md5_mod('shard', 8)})::INTEGER AS shard,
          len(list_filter(string_split_regex(text, '\\s+'),
                          t -> t <> ''))::BIGINT AS n_tokens
   FROM documents),

@@ -48,10 +48,19 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 def with_bucket(
     df: DataFrame, bucket_col: str = "conv_id", n_buckets: int = 32
 ) -> DataFrame:
+    # non-NULL keys hash their ORIGINAL typed value (xxhash64(123L) !=
+    # xxhash64('123') — a blanket string cast would silently reassign
+    # every bucket for numeric key columns, corrupting resumes of
+    # out_dirs written before the cast); only the NULL case is remapped,
+    # to the hash of the empty string, so it lands in a real numeric
+    # bucket instead of Hive's default partition.
+    c = F.col(bucket_col)
     return df.withColumn(
         "_bucket",
         F.pmod(
-            F.xxhash64(F.coalesce(F.col(bucket_col).cast("string"), F.lit(""))),
+            F.when(c.isNull(), F.xxhash64(F.lit(""))).otherwise(
+                F.xxhash64(c)
+            ),
             F.lit(n_buckets),
         ),
     )
@@ -157,6 +166,11 @@ def run_stage_checkpointed(
                 r["n_buckets"]
                 for r in m.select("n_buckets").distinct().collect()
             }
+            # rows written before the column existed read as NULL under
+            # the merged schema — unknown, not conflicting: refusing on
+            # them would block every legitimate cross-version resume
+            # (and sorted() over {None, int} would itself crash)
+            prior_n.discard(None)
             if prior_n and prior_n != {n_buckets}:
                 raise ValueError(
                     f"manifest for stage '{stage}' was written with"
@@ -181,7 +195,12 @@ def run_stage_checkpointed(
     # carries one (north rule: per-partition lineage + CER/throughput)
     metric_aggs = [
         F.count("*").alias("rows_out"),
-        F.countDistinct(bucket_col).alias("n_convs"),
+        # count NULL keys as a (single) conversation too — countDistinct
+        # skips NULLs, and a bucket holding only NULL-key rows would
+        # report n_convs=0 while carrying data
+        F.countDistinct(
+            F.coalesce(F.col(bucket_col).cast("string"), F.lit(""))
+        ).alias("n_convs"),
     ]
     has_cer = "cer" in written.columns
     if has_cer:
@@ -218,7 +237,12 @@ def run_stage_checkpointed(
             (float(r["cer_cp_sum"]) / r["cer_n"] / 100)
             if has_cer and r["cer_n"]
             else None,
-            int(r["chars_out"]) if text_col else None,
+            # sum(length(text)) over an all-NULL bucket is NULL — an
+            # unguarded int() here would crash AFTER the data commit and
+            # orphan the whole run's buckets
+            int(r["chars_out"])
+            if text_col and r["chars_out"] is not None
+            else None,
             wall_ms,
             run_rps,
             input_fingerprint,

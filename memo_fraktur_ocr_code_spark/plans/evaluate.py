@@ -128,6 +128,12 @@ def evaluate_corrections(
     categorized = agg.confusion_categories(triple)
 
     return {
+        # the cached roots are exposed so release_evaluation() can
+        # unpersist them once the report is rendered — otherwise two
+        # full aligned-pair tables stay pinned in executor storage for
+        # the rest of the session (ADVICE r3)
+        "base_pairs": base_pairs,
+        "corr_pairs": corr_pairs,
         "base_annotated": base_ann,
         "corr_annotated": corr_ann,
         "base_levcat_breakdown": agg.freq_breakdown(base_ann, "levcat"),
@@ -152,6 +158,16 @@ def evaluate_corrections(
             F.col("finecategory") == "FalsePos"
         ).orderBy("conv_id", "turn_idx", "word_idx"),
     }
+
+
+def release_evaluation(reports: dict[str, DataFrame]) -> None:
+    """Unpersist the cached aligned-pair roots of an
+    ``evaluate_corrections`` result — call after the report is rendered
+    so repeated evaluations don't accumulate pinned caches."""
+    for k in ("base_pairs", "corr_pairs"):
+        df = reports.get(k)
+        if df is not None:
+            df.unpersist()
 
 
 def match_rate(pairs_annotated: DataFrame) -> float:

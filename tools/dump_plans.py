@@ -119,6 +119,15 @@ def main():
         "doc-partitioned window — scales with corpus, never corpus².",
     )
     add(
+        "Trained-codebook IVF ANN (sim_ivf_trained_topk)",
+        e.extra_queries()["sim_ivf_trained_topk"](spark, sf),
+        "2 Lloyd rounds: each a broadcast-argmax assignment (no corpus "
+        "shuffle) + a (list,dim)-keyed aggregation whose reduce "
+        "cardinality is n_lists x dim; no SinglePartition anywhere and "
+        "the narrow per-dim sums stay inside whole-stage codegen (a "
+        "dim-wide aggregate blows Janino's 64 KB method limit).",
+    )
+    add(
         "Benchmark decontamination (decontaminate_bench)",
         e.extra_queries()["decontaminate_bench"](spark, sf),
         "The benchmark gram set is a BroadcastExchange; training-corpus "

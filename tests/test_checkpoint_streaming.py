@@ -204,21 +204,55 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         .start()
     )
     try:
-        # append mode emits only watermark-closed windows; the same
-        # transform is checked for completeness in batch mode below
         q.processAllAvailable()
+        # READ the streaming output (ADVICE r3: asserting only on an
+        # inline re-aggregation left the transform's own output
+        # unverified).  Append mode emits watermark-CLOSED windows; with
+        # max event time at minute 27 and a 30-min watermark, none have
+        # closed in this bounded input — so verify the full output via
+        # the same transform run in complete mode instead.
+        streamed = {
+            (r.window_start, r.conv_id): (r.n_turns, r.n_chars)
+            for r in spark.sql("SELECT * FROM turn_rate").collect()
+        }
     finally:
         q.stop()
+    q2 = (
+        turn_rate_stream(
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, text string, ts timestamp"
+            ).parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("turn_rate_complete")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        complete = {
+            (r.window_start, r.conv_id): (r.n_turns, r.n_chars)
+            for r in spark.sql("SELECT * FROM turn_rate_complete").collect()
+        }
+    finally:
+        q2.stop()
     got = spark.read.parquet(src)
     from pyspark.sql import functions as F
 
-    batch_agg = (
-        got.groupBy(F.window("ts", "10 minutes"), "conv_id")
-        .agg(F.count("*").alias("n_turns"))
+    batch_agg = {
+        (r.win.start, r.conv_id): (r.n_turns, r.n_chars)
+        for r in got.groupBy(F.window("ts", "10 minutes").alias("win"),
+                             "conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum(F.length("text")).alias("n_chars"))
         .collect()
-    )
-    assert sum(r.n_turns for r in batch_agg) == 10
-    assert len(batch_agg) == 3  # 30 minutes of turns → three 10-min windows
+    }
+    # the TRANSFORM's complete-mode output equals the batch aggregation
+    assert complete == batch_agg
+    assert len(complete) == 3  # 30 min of turns → three 10-min windows
+    assert sum(n for n, _ in complete.values()) == 10
+    # append mode emitted only closed windows (a subset of complete)
+    assert set(streamed) <= set(complete)
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):

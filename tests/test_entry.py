@@ -1,10 +1,9 @@
-"""Driver-contract smoke tests for __spark_entry__."""
+"""Driver-contract smoke tests for __spark_entry__.
+
+(The repo root reaches sys.path via conftest.py — no per-file or
+machine-specific path setup.)"""
 
 from __future__ import annotations
-
-import sys
-
-sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 

@@ -7,11 +7,9 @@ verification coverage.
 
 from __future__ import annotations
 
-import sys
 
 import duckdb
 
-sys.path.insert(0, ".")
 
 SF = "/root/testdata/sf0.001"
 TABLES = (
@@ -21,7 +19,6 @@ TABLES = (
 
 
 def test_extra_queries_match_their_oracles(spark):
-    sys.path.insert(0, ".")
     import __spark_entry__ as e
     from tools.check_oracle import canon
 

@@ -64,6 +64,10 @@ def test_tokens_table_enumeration(spark):
         for r in sorted(out, key=lambda r: r.conv_word_idx)
         if r.conv_id == "c1"
     ]
+    # actual monotonicity: walking conv_word_idx ascending, turn_idx
+    # must never decrease (the single max-in-last-turn check let
+    # interleaved enumerations through)
+    assert [t for t, _ in conv_idx] == sorted(t for t, _ in conv_idx)
     assert conv_idx[-1][0] == 1
 
 
@@ -293,9 +297,22 @@ def test_cosine_topk_self_nearest(spark):
 def test_srp_lsh_subset_of_exact_space(spark):
     emb = _embs(spark)
     q = emb.where(F.col("vec_id") == 0)
-    out = srp_lsh_topk(emb, q, dim=8, k=3, bits=4).collect()
+    out = sorted(
+        srp_lsh_topk(emb, q, dim=8, k=3, bits=4).collect(),
+        key=lambda r: r.rank,
+    )
     assert len(out) >= 1
+    assert out[0].rank == 1
     assert out[0].neighbor_id == 0  # identical vector shares every bucket
+    # the property in the name: ANN results are a SUBSET of the exact
+    # brute-force ranking's candidate space, in consistent score order
+    exact = {
+        r.neighbor_id: r.rank
+        for r in cosine_topk(emb, q, k=emb.count()).collect()
+    }
+    assert all(r.neighbor_id in exact for r in out)
+    exact_order = [exact[r.neighbor_id] for r in out]
+    assert exact_order == sorted(exact_order)
 
 
 def test_textstats(spark):

@@ -17,9 +17,7 @@ Catches the silent scale-killers at plan level:
 
 from __future__ import annotations
 
-import sys
 
-sys.path.insert(0, ".")
 
 SF = "/root/testdata/sf0.001"
 
@@ -114,9 +112,13 @@ def test_a10_top_k_stays_distributed(spark):
 
 
 def test_flagship_single_shuffle(spark):
-    """The fused pipeline plans exactly one Exchange (the conv_id
-    repartition) before the kernel."""
+    """The fused pipeline plans exactly one SHUFFLE exchange (the
+    conv_id repartition) before the kernel.  Count shuffle exchanges
+    specifically — the bare 'Exchange' substring also matches
+    BroadcastExchange/ReusedExchange, which would fail this guard on a
+    legitimate broadcast join that preserves the single-shuffle
+    property (ADVICE r3)."""
     import __spark_entry__ as e
 
     plan = _plan(e.entry(spark))
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

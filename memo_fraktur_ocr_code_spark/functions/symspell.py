@@ -478,7 +478,23 @@ def line_correct_text(text: str, index: SymSpellIndex) -> str:
                         )
             else:
                 # word count changed (binary split): replace the whole
-                # original word once, literally
-                new_line = new_line.replace(orig_word, repl, 1)
+                # original word once, anchored so the match cannot land
+                # inside an earlier longer token on the line (a literal
+                # ``str.replace`` would splice 'ordet'→'or det' into the
+                # middle of 'Nordet' — ADVICE r3).  Lookarounds rather
+                # than \b so words edged by punctuation still match;
+                # backslashes in the replacement are literalized.
+                new_line, n_sub = _re.subn(
+                    rf"(?<!\w){_re.escape(orig_word)}(?!\w)",
+                    repl.replace("\\", "\\\\"),
+                    new_line,
+                    count=1,
+                )
+                if n_sub == 0:
+                    # token abuts word chars on both sides (can only
+                    # happen if tokenization and the line disagree) —
+                    # fall back to the literal first-occurrence splice
+                    # rather than dropping the correction
+                    new_line = new_line.replace(orig_word, repl, 1)
         out_lines.append(new_line)
     return "\n".join(out_lines)

@@ -9,11 +9,16 @@ wall_ms, rows_per_sec, input_fingerprint)``.  Resume = anti-join the
 completed buckets — an executor/job failure never recomputes finished
 buckets (north_rule requirement).
 
-Bucketing by ``xxhash64(coalesce(conv_id, '')) % n_buckets`` keeps all
-turns of one conversation in one bucket, so a bucket is a self-contained
-unit of work for every conv-grouped stage (the coalesce keeps a NULL key
-out of Hive's ``__HIVE_DEFAULT_PARTITION__`` — a NULL bucket would crash
-reconcile and silently fall out of every ``isin`` predicate).
+Bucketing by ``pmod(xxhash64(conv_id), n_buckets)`` over the ORIGINAL
+typed key keeps all turns of one conversation in one bucket, so a bucket
+is a self-contained unit of work for every conv-grouped stage.  NULL
+keys need no special-casing: Spark's ``xxhash64`` never returns NULL —
+for a NULL input it returns the seed (42), a deterministic value like
+any other — so every row, NULL-keyed included, lands in a real numeric
+bucket (ADVICE r3: the previous NULL→xxhash64('') remap was built on a
+false premise and itself created a cross-version bucket-reassignment
+hazard).  The manifest records the scheme version; resume refuses an
+out_dir written under a different scheme.
 
 All filesystem probes go through the Hadoop FileSystem API resolved from
 ``out_dir``'s own scheme — ``os.path`` would silently report "nothing
@@ -29,6 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
+
+# Version tag for the bucket-assignment function.  Recorded in every
+# manifest row; resume refuses a mismatch (bucket ids computed under one
+# scheme are meaningless under another).  Legacy manifests (no column /
+# NULL) were written by the v1 NULL→xxhash64('') remap and are refused
+# too — their NULL-key rows would silently land in a different bucket.
+BUCKET_SCHEME = "xxhash64-typed-v2"
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -48,21 +60,16 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 def with_bucket(
     df: DataFrame, bucket_col: str = "conv_id", n_buckets: int = 32
 ) -> DataFrame:
-    # non-NULL keys hash their ORIGINAL typed value (xxhash64(123L) !=
+    # Keys hash their ORIGINAL typed value (xxhash64(123L) !=
     # xxhash64('123') — a blanket string cast would silently reassign
     # every bucket for numeric key columns, corrupting resumes of
-    # out_dirs written before the cast); only the NULL case is remapped,
-    # to the hash of the empty string, so it lands in a real numeric
-    # bucket instead of Hive's default partition.
-    c = F.col(bucket_col)
+    # out_dirs written before the cast).  NULL keys need no remap:
+    # xxhash64(NULL) is the seed (42), never NULL, so the bucket column
+    # is total and deterministic as-is (ADVICE r3 — the previous
+    # NULL→xxhash64('') special-case was the only thing that could move
+    # a key between versions).  Scheme version: BUCKET_SCHEME.
     return df.withColumn(
-        "_bucket",
-        F.pmod(
-            F.when(c.isNull(), F.xxhash64(F.lit(""))).otherwise(
-                F.xxhash64(c)
-            ),
-            F.lit(n_buckets),
-        ),
+        "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
     )
 
 
@@ -141,7 +148,11 @@ def run_stage_checkpointed(
     corpus mixing); (c) a manifest recording a different ``n_buckets``
     refuses the run — bucket ids are only meaningful within one hash
     space, and reinterpreting them under a new modulus silently skips
-    never-written rows and duplicates already-written ones (ADVICE r3).
+    never-written rows and duplicates already-written ones (ADVICE r3);
+    (d) a manifest recording a different ``bucket_scheme`` (or none: the
+    legacy v1 NULL-remap layout) refuses the run — a key assigned under
+    one scheme version may land in a different bucket under another,
+    duplicating its rows on resume.
     """
     done = completed_buckets(spark, out_dir, stage)
     if done:
@@ -178,6 +189,30 @@ def run_stage_checkpointed(
                     f" with n_buckets={n_buckets} — bucket ids from one"
                     " hash space are meaningless in another"
                 )
+        # scheme refusal: NULL (pre-column legacy rows) means the v1
+        # NULL-remap layout — refuse rather than guess, because a
+        # NULL-key row recomputed under v2 lands in a different bucket
+        # and would be written a second time
+        prior_scheme = (
+            {
+                r["bucket_scheme"]
+                for r in m.select("bucket_scheme").distinct().collect()
+            }
+            if "bucket_scheme" in m.columns
+            else {None}
+        )
+        if prior_scheme != {BUCKET_SCHEME}:
+            legacy = sorted(
+                s if s is not None else "<v1-null-remap>"
+                for s in prior_scheme
+            )
+            raise ValueError(
+                f"manifest for stage '{stage}' records bucket scheme"
+                f" {legacy}, refusing to resume under"
+                f" '{BUCKET_SCHEME}' — keys may map to different"
+                " buckets across scheme versions; recompute into a"
+                " fresh out_dir"
+            )
     orphans = _reconcile_orphan_buckets(spark, out_dir, stage, done)
     bucketed = with_bucket(df, bucket_col, n_buckets)
     todo = bucketed
@@ -246,6 +281,7 @@ def run_stage_checkpointed(
             wall_ms,
             run_rps,
             input_fingerprint,
+            BUCKET_SCHEME,
         )
         for r in bucket_rows
     ]
@@ -253,7 +289,8 @@ def run_stage_checkpointed(
         manifest,
         "stage string, bucket bigint, n_buckets int, rows_out bigint,"
         " n_convs bigint, cer_avg double, chars_out bigint,"
-        " wall_ms bigint, rows_per_sec double, input_fingerprint string",
+        " wall_ms bigint, rows_per_sec double, input_fingerprint string,"
+        " bucket_scheme string",
     ).write.mode("append").parquet(f"{out_dir}/{MANIFEST_DIR}")
     after = completed_buckets(spark, out_dir, stage)
     return {

@@ -249,7 +249,21 @@ def _correct_pipeline_skew_routed(
             do_easy, do_hard, do_sym, num_partitions, bigram_pairs,
             prebuilt=prebuilt,
         )
-    is_long = F.col("conv_id").isin(long_list)
+    # NULL-safe routing (ADVICE r3): a bare ``isin`` evaluates to NULL for
+    # NULL conv_id rows, and ``where`` drops NULL — so NULL-key rows would
+    # silently vanish from BOTH branches; worse, a None inside long_list
+    # makes ``~isin([..., None])`` NULL for every non-member, dropping the
+    # entire short corpus.  Split the membership test into a non-NULL
+    # literal list plus an explicit isNull clause, and coalesce so the
+    # predicate is two-valued.
+    non_null_long = [x for x in long_list if x is not None]
+    is_long = (
+        F.coalesce(F.col("conv_id").isin(non_null_long), F.lit(False))
+        if non_null_long
+        else F.lit(False)
+    )
+    if len(non_null_long) != len(long_list):  # the NULL-key group is a whale
+        is_long = is_long | F.col("conv_id").isNull()
     t_short = transcripts.where(~is_long)
     t_long = transcripts.where(is_long)
     a_short = a_long = None

@@ -78,6 +78,41 @@ def test_checkpoint_resume_refuses_different_n_buckets(spark, tmp_path):
         )
 
 
+def test_checkpoint_resume_refuses_legacy_bucket_scheme(spark, tmp_path):
+    """A manifest without a bucket_scheme column was written by the v1
+    NULL-remap layout; resuming it under the current scheme could move
+    NULL-key rows to a different bucket and duplicate them — resume must
+    refuse (ADVICE r3)."""
+    transcripts, _alt, _lex = make_fixture(n_convs=4)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path / "ckpt_scheme")
+    run_stage_checkpointed(
+        spark, df, out, "assemble", n_buckets=8, input_fingerprint="fx"
+    )
+    # strip the scheme column to simulate a legacy (pre-versioning)
+    # manifest, then attempt a resume
+    legacy = (
+        spark.read.parquet(f"{out}/_manifest").drop("bucket_scheme")
+    ).collect()
+    import shutil
+
+    shutil.rmtree(f"{out}/_manifest")
+    spark.createDataFrame(
+        legacy,
+        "stage string, bucket bigint, n_buckets int, rows_out bigint,"
+        " n_convs bigint, cer_avg double, chars_out bigint,"
+        " wall_ms bigint, rows_per_sec double, input_fingerprint string",
+    ).write.parquet(f"{out}/_manifest")
+    with pytest.raises(ValueError, match="bucket scheme"):
+        run_stage_checkpointed(
+            spark, df, out, "assemble", n_buckets=8,
+            input_fingerprint="fx",
+        )
+
+
 def test_checkpoint_null_conv_id_rows_survive(spark, tmp_path):
     """A NULL conv_id must land in a real numeric bucket (not Hive's
     default partition, which crashed reconcile and fell out of every

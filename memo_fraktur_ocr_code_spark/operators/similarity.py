@@ -16,6 +16,8 @@ no RNG state, identical across executors and runs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,6 +134,42 @@ def _srp_signature(vec_col, dim: int, bits: int, seed: int = 7) -> F.Column:
     )
 
 
+def _srp_signature_arrow(dim: int, bits: int, seed: int = 7):
+    """Arrow-vectorized twin of ``_srp_signature`` — bit-for-bit equal.
+
+    The Catalyst fold is the engine-portable SPEC (the DuckDB oracle
+    mirrors its per-plane left folds), but as an interpreted expression
+    it costs ~4 ms/row at dim=64/bits=24 — the dominant term of
+    srp_lsh_topk (r4 profile: 8.2 s of an 11 s run just for corpus
+    signatures).  This twin performs the IDENTICAL float64 operation
+    sequence — ``acc[b] += v[d] * p[d][b]`` in ascending d, one multiply
+    then one add per step, so every intermediate rounding matches the
+    fold and the signatures are equal bit for bit (asserted over fixture
+    embeddings in tests/test_operators.py) — vectorized ACROSS ROWS with
+    numpy in an Arrow batch.  float32 → float64 widening is exact, same
+    as the Catalyst cast."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(dim, bits, seed)
+    # plane_t[d][b] = plane b, component d — ascending-d accumulation
+    plane_t = np.array(planes, dtype=np.float64).T.copy()
+    weights = np.left_shift(
+        np.int64(1), np.arange(bits, dtype=np.int64)
+    )
+
+    @pandas_udf("bigint")
+    def sig(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        acc = np.zeros((m.shape[0], bits), dtype=np.float64)
+        for d in range(dim):
+            acc += m[:, d : d + 1] * plane_t[d]
+        return pd.Series(((acc > 0) * weights).sum(axis=1))
+
+    return sig
+
+
 def _band_keys(sig_col, bands: int, band_bits: int) -> F.Column:
     """array of per-band bucket keys: band b = bits [b*band_bits,
     (b+1)*band_bits) of the signature."""
@@ -153,6 +191,7 @@ def srp_lsh_topk(
     bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_max: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP band-bucket equi-join → exact re-rank
     of candidates only.
@@ -172,40 +211,75 @@ def srp_lsh_topk(
     so recomputing a duplicate's dot product costs less than shuffling
     dim-sized vector arrays through a pre-scoring dedup.  At ``bands=1``
     no duplicates can exist and the distinct is skipped.  The exact
-    re-rank keeps returned ranks truthful."""
+    re-rank keeps returned ranks truthful.
+
+    Norms and signatures are computed ONCE PER ROW before the band
+    explode (r4 claw-back): the per-candidate-pair work is a single
+    dot-product fold instead of three (dot + both norms), and the
+    ``bits``-bit signature fold runs once instead of once per band —
+    identical operation order, so scores stay bit-for-bit equal.
+
+    ``hamming_max`` (opt-in, default None = exact parity with the plain
+    band join): drop candidate pairs whose full-signature hamming
+    distance exceeds the threshold BEFORE the exact dot product — one
+    xor+popcount per pair versus a dim-wide fold.  A band match already
+    guarantees hamming ≤ bits - band_bits, so any threshold ≥ that is a
+    provable no-op; useful thresholds below it are an empirical
+    candidate-recall trade exactly like minhash's ``prefilter_margin``
+    (tests pin output preservation at the registry's setting; expected
+    hamming for per-bit agreement p is bits·(1-p), e.g. ≈3.4 of 24 at
+    cos≈0.9 vs ≈12 for random pairs — the prune removes mostly random
+    band collisions)."""
     assert bits % bands == 0, "bits must split evenly into bands"
     band_bits = bits // bands
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double_array(vec_col).alias("vv"),
-    ).select(
-        "neighbor_id",
-        "vv",
-        F.posexplode(
-            _band_keys(_srp_signature(F.col("vv"), dim, bits), bands, band_bits)
-        ).alias("band", "key"),
+    sig_fn = _srp_signature_arrow(dim, bits)
+    v = (
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double_array(vec_col).alias("vv"),
+        )
+        .withColumn("nv", _norm(F.col("vv")))
+        .withColumn("vsig", sig_fn(F.col("vv")))
+        .select(
+            "neighbor_id",
+            "vv",
+            "nv",
+            "vsig",
+            F.posexplode(
+                _band_keys(F.col("vsig"), bands, band_bits)
+            ).alias("band", "key"),
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double_array(vec_col).alias("qv"),
-    ).select(
-        "query_id",
-        "qv",
-        F.posexplode(
-            _band_keys(_srp_signature(F.col("qv"), dim, bits), bands, band_bits)
-        ).alias("band", "key"),
-    )
-    cand = (
-        v.join(F.broadcast(q), ["band", "key"])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double_array(vec_col).alias("qv"),
+        )
+        .withColumn("nq", _norm(F.col("qv")))
+        .withColumn("qsig", sig_fn(F.col("qv")))
         .select(
             "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("vv"))
-                / (_norm(F.col("qv")) * _norm(F.col("vv"))),
-                6,
-            ).alias("score"),
+            "qv",
+            "nq",
+            "qsig",
+            F.posexplode(
+                _band_keys(F.col("qsig"), bands, band_bits)
+            ).alias("band", "key"),
         )
+    )
+    cand = v.join(F.broadcast(q), ["band", "key"])
+    if hamming_max is not None:
+        cand = cand.where(
+            F.bit_count(F.col("vsig").bitwiseXOR(F.col("qsig")))
+            <= hamming_max
+        )
+    cand = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("vv")) / (F.col("nq") * F.col("nv")),
+            6,
+        ).alias("score"),
     )
     if bands > 1:
         # collapse multi-band duplicates: score is deterministic per pair

@@ -1,0 +1,23 @@
+"""End-to-end streaming demo job (jobs/run_streaming.py, VERDICT r3
+item 6): drives stateful assembly + streaming dedup through real
+writeStream queries with checkpoints and asserts the job's own
+contracts — bounded state, dedup exactness, spec-oracle equality of the
+final corrected view."""
+
+from __future__ import annotations
+
+
+def test_streaming_job_demo(spark, tmp_path):
+    # the demo builds its own SparkSession via get_spark(); under pytest
+    # that returns the active session, so tmp isolation works
+    from jobs.run_streaming import _demo
+
+    summary = _demo(str(tmp_path / "demo"))
+    assert summary["oracle_equal"] is True
+    assert summary["corrected_turns"] == 54
+    assert summary["deduped_rows"] == 53  # one planted exact duplicate
+    # cross-micro-batch statefulness actually exercised
+    assert summary["micro_batches"] > 3
+    assert summary["emissions"] > summary["corrected_turns"]
+    # bounded state: one row per live conversation
+    assert summary["corrected_query"]["state_rows"] <= 7

@@ -2404,6 +2404,103 @@ FROM b ORDER BY doc_id
 """
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Merge-on-read incremental exact dedup (r4): documents with
+    doc_id < 250 are the established corpus, the rest arrive as the new
+    batch — emit only first-in-batch, never-seen content with the
+    batch-internal duplicate count.  The oracle anti-joins on the
+    normalized TEXT itself (DuckDB has no xxhash64), the same
+    text-equality the signature encodes."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+    ).orderBy("doc_id")
+
+
+_SQL_INCREMENTAL_DEDUP = r"""
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+firsts AS (
+  SELECT t, min(doc_id) AS doc_id, count(*) AS batch_dups
+  FROM nrm WHERE doc_id >= 250 GROUP BY t)
+SELECT doc_id, batch_dups FROM firsts
+WHERE t NOT IN (SELECT t FROM nrm WHERE doc_id < 250)
+ORDER BY doc_id
+"""
+
+
+def _q_bigram_lm(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (r4): mean conditional
+    probability of each document's adjacent token pairs in ppm —
+    integer-exact (no log/exp: libm transcendentals differ in the last
+    ulp across engines), CCNet-style LM quality filtering."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+_SQL_BIGRAM_LM = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+pairs AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM d WHERE len(ts) >= 2)),
+uni AS (SELECT w1, count(*) AS cu
+        FROM (SELECT unnest(ts) AS w1 FROM d) GROUP BY w1),
+bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY w1, w2),
+sp AS (SELECT doc_id, cb * 1000000 // cu AS ppm
+       FROM pairs JOIN bg USING (w1, w2) JOIN uni USING (w1)),
+pd AS (SELECT doc_id, count(*) AS n_pairs,
+              (sum(ppm) // count(*))::BIGINT AS lm_ppm
+       FROM sp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_pairs, 0) AS n_pairs,
+       coalesce(lm_ppm, 0)::BIGINT AS lm_ppm
+FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _q_domain_mix(spark, sf_dir):
+    """Domain-mixing weights (r4): per-source token share and the
+    basis-point sampling multiplier that rebalances the mix to uniform.
+    Small-integer spec (share quantized to ppm first) so no product
+    overflows at any corpus size and no double ever touches a value."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        domain_mix_weights,
+    )
+
+    return domain_mix_weights(_t(spark, sf_dir, "documents")).orderBy(
+        "domain"
+    )
+
+
+_SQL_DOMAIN_MIX = f"""
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+               count(*) AS n_domains
+        FROM per)
+SELECT domain, n_docs, n_tokens,
+       (n_tokens * 1000000 // tot_tokens)::BIGINT AS share_ppm,
+       ((1000000 // n_domains) * 10000
+         // greatest(n_tokens * 1000000 // tot_tokens, 1))::BIGINT
+         AS weight_bp
+FROM per CROSS JOIN tot ORDER BY domain
+"""
+
+
 def _q_pack_tokens(spark, sf_dir):
     """Token-budget pack assignment for training-shard assembly: docs
     hashed into 8 shards, quota-packed at 200 tokens within each shard.
@@ -2723,6 +2820,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracle unrolls the same training in SQL)
     * split_assign — deterministic train/val/test assignment, stable
       under corpus growth
+
+    plus round-4 additions:
+
+    * incremental_dedup — merge-on-read exact dedup of a new batch
+      against the established corpus (the delta-growth production
+      shape; oracle anti-joins on normalized text)
+    * bigram_lm_score — corpus-trained bigram-LM quality signal,
+      integer-exact mean conditional probability in ppm (CCNet-style
+      LM filtering without libm transcendentals)
+    * domain_mix_weights — per-source token share + basis-point
+      sampling multipliers toward a target mix
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2738,6 +2846,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "sim_ivf_trained_topk": _q_sim_ivf_trained_topk,
         "split_assign": _q_split_assign,
+        # r4 additions (oracle-verified under the same local gate)
+        "incremental_dedup": _q_incremental_dedup,
+        "bigram_lm_score": _q_bigram_lm,
+        "domain_mix_weights": _q_domain_mix,
     }
 
 
@@ -2805,4 +2917,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _sql_ivf_topk(),
         "pipeline_assembly_easy": _SQL_PIPELINE_ASSEMBLY_EASY,
         "pipeline_correct_turns": _SQL_PIPELINE_CORRECT_TURNS,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "bigram_lm_score": _SQL_BIGRAM_LM,
+        "domain_mix_weights": _SQL_DOMAIN_MIX,
     }

@@ -292,3 +292,79 @@ def redact_pii(
         red.alias("redacted"),
         n.cast("int").alias("n_redactions"),
     )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    target_shares_ppm: dict[str, int] | None = None,
+) -> DataFrame:
+    """Per-domain sampling weights that rebalance the corpus token mix
+    to a target share — the domain-mixing step of a training-data
+    pipeline (e.g. up-weight books, down-weight crawl).
+
+    Default target: uniform across the observed domains
+    (``1e6 DIV n_domains`` ppm each); pass ``target_shares_ppm`` to pin
+    explicit shares.  Outputs per domain: document count, token count
+    (whitespace tokens, same counter as textstats.token_counts), the
+    actual token share in ppm, and ``weight_bp`` — the sampling
+    multiplier in basis points (``target_tokens * 1e4 DIV
+    domain_tokens``), so ``sum(domain_tokens * weight_bp / 1e4)``
+    re-hits the target mix.  Integer arithmetic end to end (exact,
+    associative, engine-portable).
+
+    Scale: one aggregation by domain (shuffle of |domains| groups after
+    map-side combine) + a broadcast single-row totals join — nothing
+    scales with corpus rows except the scan."""
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+    per_dom = (
+        df.select(F.col(domain_col).alias("domain"), toks.alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    totals = per_dom.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_domains"),
+    )
+    joined = per_dom.crossJoin(F.broadcast(totals))
+    if target_shares_ppm is None:
+        target_ppm = F.expr("1000000 DIV n_domains")
+    else:
+        mapping = F.create_map(
+            *[
+                F.lit(x)
+                for kv in target_shares_ppm.items()
+                for x in kv
+            ]
+        )
+        target_ppm = mapping[F.col("domain")]
+    # weight spec in SMALL-integer arithmetic: share quantized to ppm
+    # first, then weight_bp = target_ppm * 1e4 DIV share_ppm — the
+    # intermediate never exceeds 1e10 (no overflow at any corpus size,
+    # where target_ppm * tot_tokens would blow past 2^63 at ~10^13
+    # tokens), no doubles ever touch the value (Spark's double->bigint
+    # cast truncates while DuckDB's rounds), and DuckDB mirrors the
+    # exact sequence.  greatest(...,1) guards sub-ppm domains.
+    return (
+        joined.withColumn("target_ppm", target_ppm.cast("bigint"))
+        .withColumn(
+            "share_ppm", F.expr("n_tokens * 1000000 DIV tot_tokens")
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            "share_ppm",
+            F.expr(
+                "target_ppm * 10000 DIV greatest(share_ppm, 1)"
+            ).alias("weight_bp"),
+        )
+    )

@@ -52,6 +52,47 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge-on-read incremental exact dedup: keep only the batch rows
+    whose normalized content is (a) unseen in the established corpus and
+    (b) the first occurrence (smallest id) within the batch, with the
+    batch-internal duplicate count — the production shape for growing a
+    deduplicated corpus by deltas.  Batch analog of
+    ``streaming.correct_stream.dedup_stream`` (same ``xxhash64`` over
+    :func:`normalize_text_col` signature) and the incremental form of
+    :func:`exact_dedup`.
+
+    Scale: ``existing`` reduces to a DISTINCT signature table — one
+    hash-agg shuffle over the established corpus here; in production
+    that table is maintained incrementally (append the kept sigs of each
+    delta) and bucketed by ``sig``, making both the reduction and the
+    anti-join shuffle-free.  The batch side is one hash-agg on ``sig``
+    (first-occurrence pick) plus the anti-join; nothing scans the
+    established corpus's text twice."""
+    seen = existing.select(
+        F.xxhash64(normalize_text_col(text_col)).alias("sig")
+    ).distinct()
+    firsts = (
+        batch.select(
+            F.col(id_col),
+            F.xxhash64(normalize_text_col(text_col)).alias("sig"),
+        )
+        .groupBy("sig")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("batch_dups"),
+        )
+    )
+    return firsts.join(seen, "sig", "left_anti").select(
+        id_col, "batch_dups"
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -213,3 +213,68 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: F.pmod(acc * 31 + F.ascii(c), prime),
     )
     return df.select("*", fp.alias("fp_roll"))
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality signal, integer-exact.
+
+    Trains token bigram/unigram counts on the corpus ITSELF, then scores
+    every document by the mean conditional probability of its adjacent
+    token pairs: per pair ``ppm = c(w1,w2) * 1e6 DIV c(w1)``, per doc
+    ``lm_ppm = sum(ppm) DIV n_pairs``.  High scores = text whose local
+    word transitions are typical of the corpus; boilerplate/garbled text
+    scores low — the classic LM-based quality filter (CCNet-style), with
+    the arithmetic mean of conditional probabilities standing in for the
+    transcendental ``exp(mean log p)``: log/exp differ across libm
+    implementations in the last ulp, while integer ratio+sum is
+    associative and engine-portable bit for bit, which is what lets the
+    DuckDB oracle verify it exactly at any partitioning.
+
+    Scale: two count aggregations (unigram, bigram — Zipf-skewed keys;
+    partial map-side combine absorbs the head) + one join of the pairs
+    table against each count table keyed on the gram, + the per-doc sum.
+    The pairs table is scan-side row amplification, never a shuffle of
+    its own.  Docs with < 2 tokens carry ``n_pairs = 0`` and score 0
+    (coalesced, keeping the output column integer-typed on every
+    engine — a NULL here turns the pandas column float on both sides of
+    the oracle compare).
+    """
+    toks = _ws_tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    pairs = base.where(F.size("ts") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    unigrams = (
+        base.select(F.explode("ts").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored_pairs = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(unigrams, "w1")
+        .select("id", F.expr("cb * 1000000 DIV cu").alias("ppm"))
+    )
+    per_doc = scored_pairs.groupBy("id").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("sum(ppm) DIV count(*)").alias("lm_ppm"),
+    )
+    return (
+        base.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("lm_ppm", F.lit(0).cast("bigint")).alias(
+                "lm_ppm"
+            ),
+        )
+    )

@@ -255,3 +255,85 @@ def test_stratified_sample_plan_is_narrow_filter(spark):
     )
     assert "Exchange" not in plan  # no shuffle: pure per-row filter
     assert "Window" not in plan
+
+
+def test_domain_mix_weights_uniform_target(spark):
+    """Integer-exact domain rebalancing: shares in ppm, weights in bp,
+    hand-computed on a 3-domain corpus (r4)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        domain_mix_weights,
+    )
+
+    rows = [
+        (0, "a b c", "X"), (1, "d", "X"),
+        (2, "e f", "Y"), (3, "g h", "Y"),
+        (4, "i", "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    got = {
+        r.domain: (r.n_docs, r.n_tokens, r.share_ppm, r.weight_bp)
+        for r in domain_mix_weights(df).collect()
+    }
+    # total 9 tokens; uniform target = 1e6 DIV 3 = 333333 ppm
+    assert got["X"] == (2, 4, 444444, 7500)  # 3333330000 // 444444
+    assert got["Y"] == (2, 4, 444444, 7500)
+    assert got["Z"] == (1, 1, 111111, 3333330000 // 111111)
+    # explicit target shares override the uniform default
+    got2 = {
+        r.domain: r.weight_bp
+        for r in domain_mix_weights(
+            df, target_shares_ppm={"X": 500000, "Y": 250000, "Z": 250000}
+        ).collect()
+    }
+    assert got2["X"] == 500000 * 10000 // 444444
+    assert got2["Z"] == 250000 * 10000 // 111111
+
+
+def test_incremental_dedup_merge_on_read(spark):
+    """Only never-seen, first-in-batch content survives; batch-internal
+    duplicate counts are carried; whitespace variants collapse (r4)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [(0, "Alpha text"), (1, "beta  text")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha   text"),   # dup of existing (case+ws normalized)
+            (11, "gamma text"),     # new, first
+            (12, "gamma  text"),    # batch-internal dup of 11
+            (13, "delta"),          # new
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.batch_dups
+        for r in incremental_dedup(existing, batch).collect()
+    }
+    assert got == {11: 2, 13: 1}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Corpus-trained bigram LM ppm scores, integer-exact (r4):
+    c(a,b)=2, c(a,c)=1, c(a)=3 over the corpus below."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "z")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_pairs, r.lm_ppm)
+        for r in bigram_lm_score(df).collect()
+    }
+    assert got[0] == (1, 2 * 1000000 // 3)
+    assert got[1] == (1, 666666)
+    assert got[2] == (1, 1 * 1000000 // 3)
+    assert got[3] == (0, 0)  # single-token doc: no pairs, score 0

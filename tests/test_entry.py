@@ -23,9 +23,11 @@ def test_queries_and_oracles_aligned(spark):
     # every extra is oracle-verified (the rotation loses no coverage)
     assert set(extras) <= set(oracles)
     assert len(oracles) >= 25
-    # rows-only entries are the genuinely non-SQL-expressible ops
+    # r4: NO rows-only entries — the flagship's oracle is the frozen
+    # spec-oracle fixture (tools/make_expected.py), so every registry
+    # query gets rows+schema+hash in the driver artifact
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"pipeline_correct_turns"}
+    assert rows_only == set()
 
 
 def test_sample_query_runs(spark):

@@ -45,7 +45,7 @@ def test_driver_registry_is_exactly_50(spark):
     qs = e.queries()
     assert len(qs) == 50
     assert not set(qs) & set(e.extra_queries())
-    # every SQL-verifiable entry has an oracle; only the rows-only
-    # flagship may omit one
+    # every registry entry has an oracle — including the flagship,
+    # whose oracle is the frozen spec-oracle fixture (r4)
     missing = [n for n in qs if n not in e.oracle_sql()]
-    assert missing == ["pipeline_correct_turns"]
+    assert missing == []

@@ -2430,8 +2430,13 @@ WITH nrm AS (
 firsts AS (
   SELECT t, min(doc_id) AS doc_id, count(*) AS batch_dups
   FROM nrm WHERE doc_id >= 250 GROUP BY t)
-SELECT doc_id, batch_dups FROM firsts
-WHERE t NOT IN (SELECT t FROM nrm WHERE doc_id < 250)
+SELECT doc_id, batch_dups FROM firsts f
+WHERE NOT EXISTS (
+  -- NULL-safe anti-join: Spark's left_anti compares non-NULL sigs and
+  -- maps NULL text to the single sig xxhash64(NULL); `NOT IN` would go
+  -- three-valued on a NULL-text corpus and drop every row
+  SELECT 1 FROM nrm s
+  WHERE s.doc_id < 250 AND s.t IS NOT DISTINCT FROM f.t)
 ORDER BY doc_id
 """
 

@@ -146,11 +146,25 @@ def run(
     )
     for q in (q_corr, q_dedup):
         q.awaitTermination()
-    view = latest_corrected(spark, out_dir)
+    # a drain with nothing available commits no micro-batch and creates
+    # no sink dirs — a first cron run over an empty feed must report
+    # zero work, not crash on PATH_NOT_FOUND
+    have_corr = os.path.isdir(f"{out_dir}/corrected")
+    have_dedup = os.path.isdir(f"{out_dir}/deduped")
     summary = {
-        "corrected_turns": view.count(),
-        "emissions": spark.read.parquet(f"{out_dir}/corrected").count(),
-        "deduped_rows": spark.read.parquet(f"{out_dir}/deduped").count(),
+        "corrected_turns": (
+            latest_corrected(spark, out_dir).count() if have_corr else 0
+        ),
+        "emissions": (
+            spark.read.parquet(f"{out_dir}/corrected").count()
+            if have_corr
+            else 0
+        ),
+        "deduped_rows": (
+            spark.read.parquet(f"{out_dir}/deduped").count()
+            if have_dedup
+            else 0
+        ),
         "corrected_query": _state_metrics(q_corr),
         "dedup_query": _state_metrics(q_dedup),
     }
@@ -163,7 +177,12 @@ def _demo(work_dir: str) -> dict:
     span batches, exercising cross-batch assembly state), plus one
     planted exact-duplicate turn for the dedup stream."""
     import datetime as dt
-    import os
+    import shutil
+
+    # the demo asserts exact counts against a deterministic feed — a
+    # stale work_dir (surviving checkpoints + run-1 emissions) would
+    # make the second CLI invocation compare against mixed output
+    shutil.rmtree(work_dir, ignore_errors=True)
 
     from memo_fraktur_ocr_code_spark.oracle.spec import correct_corpus
     from memo_fraktur_ocr_code_spark.session import get_spark

@@ -314,14 +314,21 @@ def domain_mix_weights(
     re-hits the target mix.  Integer arithmetic end to end (exact,
     associative, engine-portable).
 
+    Domains observed in the corpus but absent from an explicit
+    ``target_shares_ppm`` get ``weight_bp = 0`` — excluded from the
+    target mix by definition, never a silent NULL.
+
     Scale: one aggregation by domain (shuffle of |domains| groups after
     map-side combine) + a broadcast single-row totals join — nothing
     scales with corpus rows except the scan."""
-    toks = F.size(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-        )
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        _ws_tokens,
     )
+
+    # the docstring's "same counter as textstats.token_counts" is a
+    # shared function, not a promise — a tokenizer tweak cannot
+    # desynchronize this count from the other token metrics
+    toks = F.size(_ws_tokens(text_col))
     per_dom = (
         df.select(F.col(domain_col).alias("domain"), toks.alias("nt"))
         .groupBy("domain")
@@ -345,7 +352,11 @@ def domain_mix_weights(
                 for x in kv
             ]
         )
-        target_ppm = mapping[F.col("domain")]
+        # coalesce: a domain missing from the explicit target map is
+        # excluded (weight 0), not NULL'd out of the result
+        target_ppm = F.coalesce(
+            mapping[F.col("domain")], F.lit(0)
+        )
     # weight spec in SMALL-integer arithmetic: share quantized to ppm
     # first, then weight_bp = target_ppm * 1e4 DIV share_ppm — the
     # intermediate never exceeds 1e10 (no overflow at any corpus size,

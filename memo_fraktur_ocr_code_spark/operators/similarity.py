@@ -161,11 +161,23 @@ def _srp_signature_arrow(dim: int, bits: int, seed: int = 7):
     def sig(vec: pd.Series) -> pd.Series:
         if len(vec) == 0:
             return pd.Series([], dtype="int64")
-        m = np.stack(vec.to_numpy()).astype(np.float64)
-        acc = np.zeros((m.shape[0], bits), dtype=np.float64)
-        for d in range(dim):
-            acc += m[:, d : d + 1] * plane_t[d]
-        return pd.Series(((acc > 0) * weights).sum(axis=1))
+        raw = vec.to_numpy()
+        # Catalyst parity on degenerate rows (verified live): a NULL
+        # embedding folds to signature 0 (every `when(dot > 0)` misses),
+        # and a NaN component makes its dots NaN, which Spark's `>`
+        # treats as greater-than-anything → bit SET (numpy's NaN > 0 is
+        # False, so isnan must be OR'd in explicitly).
+        nonnull = np.array([v is not None for v in raw])
+        out = np.zeros(len(raw), dtype=np.int64)
+        if nonnull.any():
+            m = np.stack(raw[nonnull]).astype(np.float64)
+            acc = np.zeros((m.shape[0], bits), dtype=np.float64)
+            for d in range(dim):
+                acc += m[:, d : d + 1] * plane_t[d]
+            out[nonnull] = (
+                ((acc > 0) | np.isnan(acc)) * weights
+            ).sum(axis=1)
+        return pd.Series(out)
 
     return sig
 

@@ -189,16 +189,28 @@ def run_stage_checkpointed(
                     f" with n_buckets={n_buckets} — bucket ids from one"
                     " hash space are meaningless in another"
                 )
-        # scheme refusal: NULL (pre-column legacy rows) means the v1
-        # NULL-remap layout — refuse rather than guess, because a
-        # NULL-key row recomputed under v2 lands in a different bucket
-        # and would be written a second time
+    # scheme refusal: NULL (pre-column legacy rows) means the v1
+    # NULL-remap layout — refuse rather than guess, because a NULL-key
+    # row recomputed under v2 lands in a different bucket and would be
+    # written a second time.  Checked over the WHOLE manifest (not just
+    # this stage, and regardless of whether this stage has completed
+    # buckets): writing a v2 stage into a legacy out_dir would create a
+    # mixed-schema manifest whose later reads resolve the schema from
+    # an arbitrary file footer — so the mix must never be created.
+    # mergeSchema so legacy files surface as NULLs instead of deciding
+    # the column away.
+    if _fs_exists(spark, f"{out_dir}/{MANIFEST_DIR}"):
+        whole = spark.read.option("mergeSchema", "true").parquet(
+            f"{out_dir}/{MANIFEST_DIR}"
+        )
         prior_scheme = (
             {
                 r["bucket_scheme"]
-                for r in m.select("bucket_scheme").distinct().collect()
+                for r in whole.select("bucket_scheme")
+                .distinct()
+                .collect()
             }
-            if "bucket_scheme" in m.columns
+            if "bucket_scheme" in whole.columns
             else {None}
         )
         if prior_scheme != {BUCKET_SCHEME}:
@@ -207,8 +219,8 @@ def run_stage_checkpointed(
                 for s in prior_scheme
             )
             raise ValueError(
-                f"manifest for stage '{stage}' records bucket scheme"
-                f" {legacy}, refusing to resume under"
+                f"manifest at '{out_dir}' records bucket scheme"
+                f" {legacy}, refusing to write stage '{stage}' under"
                 f" '{BUCKET_SCHEME}' — keys may map to different"
                 " buckets across scheme versions; recompute into a"
                 " fresh out_dir"

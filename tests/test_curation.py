@@ -337,3 +337,69 @@ def test_bigram_lm_score_hand_computed(spark):
     assert got[1] == (1, 666666)
     assert got[2] == (1, 1 * 1000000 // 3)
     assert got[3] == (0, 0)  # single-token doc: no pairs, score 0
+
+
+def test_domain_mix_weights_missing_target_domain_is_zero(spark):
+    """A domain absent from an explicit target map gets weight_bp 0
+    (excluded from the mix), never a silent NULL (code-review r4)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        domain_mix_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b", "books"), (1, "c d", "crawl")],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r.domain: r.weight_bp
+        for r in domain_mix_weights(
+            df, target_shares_ppm={"books": 1000000}
+        ).collect()
+    }
+    assert got["crawl"] == 0
+    assert got["books"] == 1000000 * 10000 // 500000
+
+
+def test_incremental_dedup_null_text_matches_oracle(spark, tmp_path):
+    """NULL-text parity with the DuckDB oracle (code-review r4): Spark
+    maps NULL text to the single signature xxhash64(NULL); the oracle's
+    NOT EXISTS / IS NOT DISTINCT FROM anti-join must reproduce that —
+    the previous NOT IN formulation went three-valued and returned zero
+    rows on any corpus with a NULL-text established row."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    rows = [
+        (0, None),          # established NULL text
+        (1, "alpha"),
+        (300, None),        # batch NULL -> suppressed (seen as NULL)
+        (301, "alpha  "),   # dup of established after normalization
+        (302, "beta"),      # new
+        (303, "beta"),      # batch-internal dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pq_path = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq_path)
+    got = {
+        (r.doc_id, r.batch_dups)
+        for r in incremental_dedup(
+            df.where(F.col("doc_id") < 250),
+            df.where(F.col("doc_id") >= 250),
+        ).collect()
+    }
+    assert got == {(302, 2)}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq_path}/*.parquet'"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            e.oracle_sql()["incremental_dedup"]
+        ).fetchall()
+    }
+    assert oracle == got

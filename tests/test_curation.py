@@ -403,3 +403,116 @@ def test_incremental_dedup_null_text_matches_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_r4_operators_match_python_replicas_on_random_corpora(spark):
+    """Seeded randomized corpora: each r4 operator must equal a plain
+    Python replica of its spec — the same style of independent check the
+    connected-components union-find test uses."""
+    import random
+    from collections import Counter
+
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        domain_mix_weights,
+    )
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "Gamma", "delta", "x"]
+    for trial in range(2):
+        rows = []
+        for i in range(60):
+            k = rng.randrange(0, 5)
+            txt = (
+                None
+                if rng.random() < 0.05
+                else "  ".join(rng.choice(vocab) for _ in range(k))
+            )
+            rows.append((i, txt, rng.choice(["s1", "s2", "s3"])))
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+
+        def norm(t):
+            return (
+                None if t is None else " ".join(t.lower().split()).strip()
+            )
+
+        # --- incremental dedup vs replica (NULL maps to one group) ---
+        cut = 30
+        seen = {norm(t) for i, t, _s in rows if i < cut}
+        firsts: dict = {}
+        counts: Counter = Counter()
+        for i, t, _s in rows:
+            if i < cut:
+                continue
+            key = norm(t)
+            counts[key] += 1
+            firsts.setdefault(key, i)
+        want = {
+            (firsts[k], counts[k]) for k in firsts if k not in seen
+        }
+        got = {
+            (r.doc_id, r.batch_dups)
+            for r in incremental_dedup(
+                df.where(F.col("doc_id") < cut),
+                df.where(F.col("doc_id") >= cut),
+            ).collect()
+        }
+        assert got == want, f"incremental trial {trial}"
+
+        # --- bigram LM vs replica (integer-exact) ---
+        toks = {
+            i: ([] if t is None else t.lower().split())
+            for i, t, _s in rows
+        }
+        cu: Counter = Counter()
+        cb: Counter = Counter()
+        for ts in toks.values():
+            cu.update(ts)
+            cb.update(zip(ts, ts[1:]))
+        want_lm = {}
+        for i, ts in toks.items():
+            if rows[i][1] is None:  # filtered out on the Spark side too
+                continue
+            pairs = list(zip(ts, ts[1:]))
+            if pairs:
+                ppms = [cb[p] * 1000000 // cu[p[0]] for p in pairs]
+                want_lm[i] = (len(pairs), sum(ppms) // len(pairs))
+            else:
+                want_lm[i] = (0, 0)
+        got_lm = {
+            r.doc_id: (r.n_pairs, r.lm_ppm)
+            for r in bigram_lm_score(
+                df.where(F.col("text").isNotNull())
+            ).collect()
+        }
+        assert got_lm == want_lm, f"lm trial {trial}"
+
+        # --- domain mix vs replica ---
+        dom_tokens: Counter = Counter()
+        dom_docs: Counter = Counter()
+        for i, _t, s in rows:
+            dom_tokens[s] += len(toks[i])
+            dom_docs[s] += 1
+        tot = sum(dom_tokens.values())
+        nd = len(dom_tokens)
+        want_mix = {}
+        for s in dom_tokens:
+            share = dom_tokens[s] * 1000000 // tot
+            want_mix[s] = (
+                dom_docs[s],
+                dom_tokens[s],
+                share,
+                (1000000 // nd) * 10000 // max(share, 1),
+            )
+        got_mix = {
+            r.domain: (r.n_docs, r.n_tokens, r.share_ppm, r.weight_bp)
+            for r in domain_mix_weights(df).collect()
+        }
+        assert got_mix == want_mix, f"mix trial {trial}"

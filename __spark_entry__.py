@@ -2519,6 +2519,59 @@ FROM per CROSS JOIN tot ORDER BY domain
 """
 
 
+_BP_HEADER = "Shared Site Navigation Menu"
+_BP_FOOTER = "Copyright Boilerplate Footer Line"
+
+
+def _q_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (r4, CCNet-style): every document
+    gets the same planted header/footer line (document frequency = all
+    docs ≫ max_line_df=3) around its multiline body — the operator must
+    drop exactly the high-df lines and rebuild the text in original
+    order; short lines (<10 chars normalized) are exempt."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    m = _docs_multiline(spark, sf_dir)
+    docs2 = m.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_HEADER + "\n"), F.col("text"), F.lit("\n" + _BP_FOOTER)
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(docs2).orderBy("doc_id")
+
+
+_SQL_STRIP_BOILERPLATE = f"""
+WITH m AS ({_MULTILINE_SQL}),
+d2 AS (SELECT doc_id,
+              '{_BP_HEADER}' || chr(10) || text || chr(10) ||
+              '{_BP_FOOTER}' AS text
+       FROM m),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM d2),
+lines AS (
+  SELECT doc_id, i AS line_no, la[i] AS line,
+         trim(regexp_replace(lower(la[i]), '\\s+', ' ', 'g')) AS key
+  FROM (SELECT doc_id, la, unnest(range(1, len(la) + 1)) AS i FROM ls)),
+hot AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS ldf
+    FROM lines WHERE len(key) >= 10 GROUP BY key)
+  WHERE ldf > 3),
+marked AS (
+  SELECT doc_id, line_no, line,
+         (len(key) >= 10 AND key IN (SELECT key FROM hot)) AS drp
+  FROM lines)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                  FILTER (WHERE NOT drp), '') AS clean_text,
+       count(*) FILTER (WHERE NOT drp) AS n_kept,
+       count(*) FILTER (WHERE drp) AS n_dropped
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_pack_tokens(spark, sf_dir):
     """Token-budget pack assignment for training-shard assembly: docs
     hashed into 8 shards, quota-packed at 200 tokens within each shard.
@@ -2849,6 +2902,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       LM filtering without libm transcendentals)
     * domain_mix_weights — per-source token share + basis-point
       sampling multipliers toward a target mix
+    * strip_boilerplate — CCNet-style line-level boilerplate removal
+      (drop lines whose normalized form appears in > max_line_df
+      documents; short lines exempt; order-preserving re-assembly)
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2868,6 +2924,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "bigram_lm_score": _q_bigram_lm,
         "domain_mix_weights": _q_domain_mix,
+        "strip_boilerplate": _q_strip_boilerplate,
     }
 
 
@@ -2938,4 +2995,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "bigram_lm_score": _SQL_BIGRAM_LM,
         "domain_mix_weights": _SQL_DOMAIN_MIX,
+        "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
     }

@@ -64,6 +64,7 @@ HEADLINE = [
     "incremental_dedup",
     "bigram_lm_score",
     "domain_mix_weights",
+    "strip_boilerplate",
 ]
 
 

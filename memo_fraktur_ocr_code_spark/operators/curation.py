@@ -379,3 +379,88 @@ def domain_mix_weights(
             ).alias("weight_bp"),
         )
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_df: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every line whose
+    normalized form appears in more than ``max_line_df`` documents
+    (navigation chrome, cookie banners, footers — content that repeats
+    across pages is boilerplate by definition), keep everything else in
+    original order and casing.
+
+    Lines shorter than ``min_line_chars`` after normalization are exempt
+    from the frequency test (short lines collide by chance — 'Home',
+    '1', '***' — and dropping them would mangle lists); they are always
+    kept.  Normalization for the frequency key = lowercase + whitespace
+    collapse, the same equivalence the dedup family uses.  Output:
+    ``(id, text, n_kept, n_dropped)`` with ``text`` rebuilt by joining
+    the surviving lines with newline.
+
+    Scale: one line-frequency aggregation (map-side combine absorbs the
+    skew: boilerplate is by definition the head of the distribution) +
+    one join of the exploded line table against the hot-line set, then a
+    per-doc ordered re-assembly via ``collect_list`` over a posexploded
+    index — no window over the corpus and nothing driver-side.  The
+    hot-line set (df > max_line_df) is SMALL relative to the corpus and
+    broadcasts, so the only full-corpus shuffle is the re-assembly
+    groupBy on ``id``.
+    """
+    norm = lambda c: F.trim(  # noqa: E731
+        F.regexp_replace(F.lower(c), r"\s+", " ")
+    )
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("key", norm(F.col("line")))
+    eligible = F.length("key") >= min_line_chars
+    hot = (
+        lines.where(eligible)
+        .select("id", "key")
+        .distinct()  # df = documents containing the line, not copies
+        .groupBy("key")
+        .agg(F.count("*").alias("line_df"))
+        .where(F.col("line_df") > max_line_df)
+        .select("key")
+    )
+    kept = lines.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(1))), "key", "left"
+    ).withColumn(
+        "drop", eligible & F.col("_hot").isNotNull()
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda st: st["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(~F.col("drop"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col), "clean_text", "n_kept", "n_dropped"
+        )
+    )
+    return out

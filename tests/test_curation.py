@@ -516,3 +516,38 @@ def test_r4_operators_match_python_replicas_on_random_corpora(spark):
             for r in domain_mix_weights(df).collect()
         }
         assert got_mix == want_mix, f"mix trial {trial}"
+
+
+def test_strip_boilerplate_lines(spark):
+    """High-df lines drop, short lines are exempt, order and casing of
+    survivors are preserved, all-dropped docs yield empty text (r4)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    header = "COOKIE Banner Accept All"
+    rows = [
+        (0, f"{header}\nUnique Content zero\nok"),
+        (1, f"{header}\nunique content one here"),
+        (2, f"{header}\nanother unique body two"),
+        (3, f"{header}\nfourth unique body line"),
+        (4, f"{header}\nfifth unique body entry"),
+        (5, header),  # all boilerplate -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in strip_boilerplate_lines(df, max_line_df=3).collect()
+    }
+    assert len(out) == 6  # every doc survives, even fully-boilerplate
+    # header df=6 > 3 -> dropped everywhere; 'ok' is short -> exempt
+    assert out[0] == ("Unique Content zero\nok", 2, 1)
+    assert out[1] == ("unique content one here", 1, 1)
+    assert out[5] == ("", 0, 1)
+    # casing + whitespace variants of the header still count as one key
+    df2 = spark.createDataFrame(
+        [(i, "cookie  banner ACCEPT all\nbody %d unique" % i) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    out2 = strip_boilerplate_lines(df2, max_line_df=3).collect()
+    assert all(r.n_dropped == 1 for r in out2)

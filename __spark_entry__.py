@@ -1669,31 +1669,12 @@ def _q_quality_gate(spark, sf_dir):
     """Composite Gopher-style training-data gate: language-ID + quality
     features + repetition filters joined per document into one keep/drop
     verdict — the filtering composition an LLM-corpus pipeline actually
-    runs.  Three per-doc operators joined on doc_id (co-partitioned key,
-    no extra shuffle shape beyond the operators' own)."""
+    runs.  The verdict definition is the SHARED operator
+    textstats.quality_gate_verdict, also used by the production
+    curation job (jobs/run_curation.py), so the oracle-verified gate
+    and the job's gate cannot drift apart (code-review r4)."""
     d = _t(spark, sf_dir, "documents")
-    li = ts_ops.lang_id(d).select("doc_id", "lang_pred")
-    qs = ts_ops.quality_score(d).select("doc_id", "n_tokens", "stop_bp")
-    rep = ts_ops.repetition_stats(d).select(
-        "doc_id", "dup_line_bp", "top2gram_char_bp"
-    )
-    out = qs.join(li, "doc_id").join(rep, "doc_id")
-    keep = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("stop_bp") >= 500)
-        & (F.col("dup_line_bp") <= 3000)
-        & (F.col("top2gram_char_bp") <= 2000)
-        & (F.col("lang_pred") != "und")
-    ).cast("int")
-    return out.select(
-        "doc_id",
-        "lang_pred",
-        "n_tokens",
-        "stop_bp",
-        "dup_line_bp",
-        "top2gram_char_bp",
-        keep.alias("keep"),
-    ).orderBy("doc_id")
+    return ts_ops.quality_gate_verdict(d).orderBy("doc_id")
 
 
 def _sql_quality_gate() -> str:

@@ -80,31 +80,22 @@ def curate(
         cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0
     )
 
-    # 2. composite quality gate (same verdict as training_quality_gate)
-    li = ts.lang_id(cleaned).select("doc_id", "lang_pred")
-    qs = ts.quality_score(cleaned).select("doc_id", "n_tokens", "stop_bp")
-    rep = ts.repetition_stats(cleaned).select(
-        "doc_id", "dup_line_bp", "top2gram_char_bp"
-    )
-    gated = (
-        cleaned.select("doc_id", "text")
-        .join(qs, "doc_id")
-        .join(li, "doc_id")
-        .join(rep, "doc_id")
-        .where(
-            (F.col("n_tokens") >= 20)
-            & (F.col("stop_bp") >= 500)
-            & (F.col("dup_line_bp") <= 3000)
-            & (F.col("top2gram_char_bp") <= 2000)
-            & (F.col("lang_pred") != "und")
-        )
-        .select("doc_id", "text", "lang_pred", "n_tokens")
+    # 2. composite quality gate — the SAME shared verdict operator the
+    # oracle-verified training_quality_gate query runs, so the job's
+    # gate cannot drift from the verified one (code-review r4)
+    verdict = ts.quality_gate_verdict(cleaned).where(F.col("keep") == 1)
+    gated = cleaned.select("doc_id", "text").join(
+        verdict.select("doc_id", "lang_pred"), "doc_id"
     )
     gated = gated.localCheckpoint(eager=True)
     funnel["after_quality_gate"] = gated.count()
 
     # 3. PII redaction (redact_pii projects to its own columns; join the
-    # verdict columns back on the co-partitioned key)
+    # carried columns back on the co-partitioned key).  n_tokens is
+    # recounted on the REDACTED text: the written column, the summary
+    # total, and pack_token_budget's budgeting must all describe the
+    # text that actually ships (code-review r4 — the gate-time count
+    # predates redaction and disagrees with the packs)
     redacted = gated.drop("text").join(
         redact_pii(gated.select("doc_id", "text")).select(
             "doc_id",
@@ -112,7 +103,7 @@ def curate(
             "n_redactions",
         ),
         "doc_id",
-    )
+    ).withColumn("n_tokens", F.size(ts._ws_tokens("text")))
 
     # 4a. exact dedup: keep the smallest doc_id per content signature
     exact_keep = exact_dedup(redacted).select("doc_id")
@@ -261,13 +252,20 @@ def main(argv: list[str]) -> None:
     bench_path = None
     budget, n_shards = 2048, 64
     it = iter(argv[2:])
+
+    def _val(flag: str) -> str:
+        v = next(it, None)
+        if v is None:
+            raise SystemExit(f"{flag} needs a value")
+        return v
+
     for a in it:
         if a == "--bench":
-            bench_path = next(it)
+            bench_path = _val(a)
         elif a == "--budget":
-            budget = int(next(it))
+            budget = int(_val(a))
         elif a == "--shards":
-            n_shards = int(next(it))
+            n_shards = int(_val(a))
         else:
             raise SystemExit(f"unknown flag {a}")
     from memo_fraktur_ocr_code_spark.session import get_spark

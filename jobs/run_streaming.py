@@ -146,25 +146,27 @@ def run(
     )
     for q in (q_corr, q_dedup):
         q.awaitTermination()
-    # a drain with nothing available commits no micro-batch and creates
-    # no sink dirs — a first cron run over an empty feed must report
-    # zero work, not crash on PATH_NOT_FOUND
-    have_corr = os.path.isdir(f"{out_dir}/corrected")
-    have_dedup = os.path.isdir(f"{out_dir}/deduped")
+
+    # a drain with nothing available commits no micro-batch: the
+    # foreachBatch sink creates nothing, but the parquet STREAMING sink
+    # creates the dir with an empty _spark_metadata at query start, so
+    # a directory-existence probe passes and the read still fails
+    # (UNABLE_TO_INFER_SCHEMA, verified live) — a first cron run over an
+    # empty feed must report zero work, so catch the unreadable-sink
+    # case instead of probing paths
+    def _count_or_zero(path: str) -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0
+
+    emissions = _count_or_zero(f"{out_dir}/corrected")
     summary = {
         "corrected_turns": (
-            latest_corrected(spark, out_dir).count() if have_corr else 0
+            latest_corrected(spark, out_dir).count() if emissions else 0
         ),
-        "emissions": (
-            spark.read.parquet(f"{out_dir}/corrected").count()
-            if have_corr
-            else 0
-        ),
-        "deduped_rows": (
-            spark.read.parquet(f"{out_dir}/deduped").count()
-            if have_dedup
-            else 0
-        ),
+        "emissions": emissions,
+        "deduped_rows": _count_or_zero(f"{out_dir}/deduped"),
         "corrected_query": _state_metrics(q_corr),
         "dedup_query": _state_metrics(q_dedup),
     }
@@ -283,7 +285,9 @@ def main(argv: list[str]) -> None:
     it = iter(argv[3:])
     for a in it:
         if a == "--watermark":
-            watermark = next(it)
+            watermark = next(it, None)
+            if watermark is None:
+                raise SystemExit("--watermark needs a value")
         elif a == "--no-sym":
             do_sym = False
         else:

@@ -407,13 +407,19 @@ def strip_boilerplate_lines(
     one join of the exploded line table against the hot-line set, then a
     per-doc ordered re-assembly via ``collect_list`` over a posexploded
     index — no window over the corpus and nothing driver-side.  The
-    hot-line set (df > max_line_df) is SMALL relative to the corpus and
-    broadcasts, so the only full-corpus shuffle is the re-assembly
-    groupBy on ``id``.
+    hot-line join is left UNHINTED: at a low ``max_line_df`` over a
+    web-scale corpus the hot set is the head AND torso of a Zipf
+    distribution (potentially billions of keys), so forcing a broadcast
+    would blow the 8 GB limit — AQE broadcasts it when it measures
+    small and shuffle-joins otherwise.  The normalization key is the
+    dedup family's own ``normalize_text_col`` (shared function, not a
+    copy).
     """
-    norm = lambda c: F.trim(  # noqa: E731
-        F.regexp_replace(F.lower(c), r"\s+", " ")
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        normalize_text_col,
     )
+
+    norm = normalize_text_col
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias(
@@ -431,7 +437,7 @@ def strip_boilerplate_lines(
         .select("key")
     )
     kept = lines.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(1))), "key", "left"
+        hot.withColumn("_hot", F.lit(1)), "key", "left"
     ).withColumn(
         "drop", eligible & F.col("_hot").isNotNull()
     )

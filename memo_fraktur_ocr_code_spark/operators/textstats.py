@@ -278,3 +278,47 @@ def bigram_lm_score(
             ),
         )
     )
+
+
+def quality_gate_verdict(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stop_bp: int = 500,
+    max_dup_line_bp: int = 3000,
+    max_top2gram_bp: int = 2000,
+) -> DataFrame:
+    """Composite Gopher-style training-data gate — lang-ID + quality
+    features + repetition filters joined per document into one 0/1
+    ``keep`` verdict.  THE shared definition: the oracle-verified
+    ``training_quality_gate`` driver query and the production curation
+    job (jobs/run_curation.py) both call this, so a threshold tweak can
+    never desynchronize them (code-review r4).
+
+    Scale: three per-doc operators joined on the co-partitioned id —
+    no shuffle shape beyond the operators' own."""
+    li = lang_id(df, text_col).select(id_col, "lang_pred")
+    qs = quality_score(df, text_col).select(
+        id_col, "n_tokens", "stop_bp"
+    )
+    rep = repetition_stats(df, id_col, text_col).select(
+        id_col, "dup_line_bp", "top2gram_char_bp"
+    )
+    out = qs.join(li, id_col).join(rep, id_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_bp") >= min_stop_bp)
+        & (F.col("dup_line_bp") <= max_dup_line_bp)
+        & (F.col("top2gram_char_bp") <= max_top2gram_bp)
+        & (F.col("lang_pred") != "und")
+    ).cast("int")
+    return out.select(
+        id_col,
+        "lang_pred",
+        "n_tokens",
+        "stop_bp",
+        "dup_line_bp",
+        "top2gram_char_bp",
+        keep.alias("keep"),
+    )

@@ -21,3 +21,21 @@ def test_streaming_job_demo(spark, tmp_path):
     assert summary["emissions"] > summary["corrected_turns"]
     # bounded state: one row per live conversation
     assert summary["corrected_query"]["state_rows"] <= 7
+
+
+def test_streaming_job_empty_feed_reports_zero_work(spark, tmp_path):
+    """A first cron drain over an empty feed must report zero work, not
+    crash: the parquet streaming sink creates its dir (with an empty
+    _spark_metadata) at query start even when no batch commits, so a
+    directory probe passes while the read fails — the summary must
+    catch the unreadable-sink case (code-review r4, reproduced live)."""
+    from jobs.run_streaming import run
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [], "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    s = run(spark, src, [("hus", 10)], str(tmp_path / "out"))
+    assert s["corrected_turns"] == 0
+    assert s["emissions"] == 0
+    assert s["deduped_rows"] == 0

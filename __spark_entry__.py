@@ -2530,7 +2530,9 @@ d2 AS (SELECT doc_id,
               '{_BP_HEADER}' || chr(10) || text || chr(10) ||
               '{_BP_FOOTER}' AS text
        FROM m),
-ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM d2),
+ls AS (SELECT doc_id,
+              string_split(coalesce(text, ''), chr(10)) AS la
+       FROM d2),
 lines AS (
   SELECT doc_id, i AS line_no, la[i] AS line,
          trim(regexp_replace(lower(la[i]), '\\s+', ' ', 'g')) AS key

@@ -71,10 +71,20 @@ def curate(
 
     funnel: dict[str, int] = {"input": docs.count()}
 
-    # 1. boilerplate strip — downstream stages see the cleaned text
+    # 1. boilerplate strip — downstream stages see the cleaned text.
+    # strip_boilerplate_lines projects to (doc_id, clean_text, counts);
+    # metadata columns (source/url/ts/...) are joined back on doc_id —
+    # the same carried-columns pattern as the redact_pii stage — so
+    # they reach the curated shards (and domain_mix_weights' `source`
+    # expectation holds) instead of being silently discarded (ADVICE r4)
+    carried = [c for c in docs.columns if c not in ("doc_id", "text")]
     cleaned = strip_boilerplate_lines(
         docs, max_line_df=max_line_df
     ).withColumnRenamed("clean_text", "text")
+    if carried:
+        cleaned = cleaned.join(
+            docs.select("doc_id", *carried), "doc_id"
+        )
     cleaned = cleaned.localCheckpoint(eager=True)  # reused 4×: cut once
     funnel["boilerplate_lines_dropped"] = int(
         cleaned.agg(F.sum("n_dropped")).collect()[0][0] or 0
@@ -84,7 +94,7 @@ def curate(
     # oracle-verified training_quality_gate query runs, so the job's
     # gate cannot drift from the verified one (code-review r4)
     verdict = ts.quality_gate_verdict(cleaned).where(F.col("keep") == 1)
-    gated = cleaned.select("doc_id", "text").join(
+    gated = cleaned.select("doc_id", "text", *carried).join(
         verdict.select("doc_id", "lang_pred"), "doc_id"
     )
     gated = gated.localCheckpoint(eager=True)

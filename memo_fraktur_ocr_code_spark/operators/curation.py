@@ -414,6 +414,13 @@ def strip_boilerplate_lines(
     small and shuffle-joins otherwise.  The normalization key is the
     dedup family's own ``normalize_text_col`` (shared function, not a
     copy).
+
+    NULL ``text`` is treated as the empty document (coalesced to ``''``
+    before the split): the row survives with ``clean_text=''``,
+    ``n_kept=1`` (the one empty line), ``n_dropped=0`` — keep-everything
+    means every input id appears in the output, so a NULL-text document
+    must not vanish at stage 1 of a funnel (posexplode over a NULL array
+    yields zero rows, which would drop the doc uncounted).
     """
     from memo_fraktur_ocr_code_spark.operators.dedup import (
         normalize_text_col,
@@ -422,9 +429,9 @@ def strip_boilerplate_lines(
     norm = normalize_text_col
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias(
-            "line_no", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
     ).withColumn("key", norm(F.col("line")))
     eligible = F.length("key") >= min_line_chars
     hot = (

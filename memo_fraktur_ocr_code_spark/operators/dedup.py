@@ -536,12 +536,22 @@ def connected_components(
             span.append(nxt)
         span_len = check_every
         # one extra consecutive step for the fixed-point test; the first
-        # count() is the span's single materializing job
-        prev_ck = nxt
-        nxt_ck = _small_star(_large_star(prev_ck)).localCheckpoint(
-            eager=False
-        )
-        rounds += 1
+        # count() is the span's single materializing job.  When the
+        # inner loop exhausted the budget, do NOT spend an extra
+        # over-budget cadence pair: check the fixed point between the
+        # last two IN-budget states instead, so exactly max_iter
+        # pair-rounds ever run and the non-convergence error's count is
+        # the work actually performed (ADVICE r4).
+        if rounds < max_iter:
+            prev_ck = nxt
+            nxt_ck = _small_star(_large_star(prev_ck)).localCheckpoint(
+                eager=False
+            )
+            rounds += 1
+        else:
+            # inner loop ran ≥1 pair this span (loop entry guarantees
+            # rounds < max_iter), so span has ≥2 entries
+            prev_ck, nxt_ck = span[-2], span[-1]
         same = (
             prev_ck.count() == nxt_ck.count()
             and nxt_ck.join(prev_ck, ["u", "v"], "left_anti")
@@ -553,7 +563,8 @@ def connected_components(
         # lineage cannot recompute, and the span's blocks are the
         # parents that computed prev_ck/nxt_ck
         for df in span:
-            _release_local_checkpoint(df)
+            if df is not nxt_ck:
+                _release_local_checkpoint(df)
         cur = nxt_ck
         converged = same
     if not converged:

@@ -32,6 +32,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 MANIFEST_DIR = "_manifest"
 
@@ -79,7 +80,13 @@ def completed_buckets(
     path = f"{out_dir}/{MANIFEST_DIR}"
     if not _fs_exists(spark, path):
         return set()
-    m = spark.read.parquet(path)
+    try:
+        m = spark.read.parquet(path)
+    except AnalysisException:
+        # _manifest exists but holds no readable parquet (a killed
+        # first write leaving only _temporary) — no prior manifest,
+        # nothing completed (ADVICE r4)
+        return set()
     return {
         r["bucket"]
         for r in m.where(F.col("stage") == stage)
@@ -198,21 +205,29 @@ def run_stage_checkpointed(
     # mixed-schema manifest whose later reads resolve the schema from
     # an arbitrary file footer — so the mix must never be created.
     # mergeSchema so legacy files surface as NULLs instead of deciding
-    # the column away.
+    # the column away.  An unreadable/empty _manifest dir (e.g. a killed
+    # first write that left only _temporary, surfacing as
+    # UNABLE_TO_INFER_SCHEMA) is treated as 'no prior manifest' — a
+    # clean start, not a crash (ADVICE r4).
+    prior_scheme = None
     if _fs_exists(spark, f"{out_dir}/{MANIFEST_DIR}"):
-        whole = spark.read.option("mergeSchema", "true").parquet(
-            f"{out_dir}/{MANIFEST_DIR}"
-        )
-        prior_scheme = (
-            {
-                r["bucket_scheme"]
-                for r in whole.select("bucket_scheme")
-                .distinct()
-                .collect()
-            }
-            if "bucket_scheme" in whole.columns
-            else {None}
-        )
+        try:
+            whole = spark.read.option("mergeSchema", "true").parquet(
+                f"{out_dir}/{MANIFEST_DIR}"
+            )
+            prior_scheme = (
+                {
+                    r["bucket_scheme"]
+                    for r in whole.select("bucket_scheme")
+                    .distinct()
+                    .collect()
+                }
+                if "bucket_scheme" in whole.columns
+                else {None}
+            )
+        except AnalysisException:
+            prior_scheme = None
+    if prior_scheme is not None:
         if prior_scheme != {BUCKET_SCHEME}:
             legacy = sorted(
                 s if s is not None else "<v1-null-remap>"

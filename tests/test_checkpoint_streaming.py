@@ -498,3 +498,25 @@ def test_cli_resume_flag_end_to_end(spark, tmp_path):
     assert got.select("conv_id", "turn_idx").distinct().count() == len(
         transcripts
     )
+
+
+def test_checkpoint_empty_manifest_dir_is_clean_start(spark, tmp_path):
+    """A _manifest dir left behind by a killed first write (only a
+    _temporary subdir, zero parquet files) must read as 'no prior
+    manifest' and start cleanly — not crash the scheme-refusal read
+    with UNABLE_TO_INFER_SCHEMA (ADVICE r4)."""
+    transcripts, _alt, _lex = make_fixture(n_convs=4)
+    df = spark.createDataFrame(
+        [(r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = tmp_path / "ckpt_empty_manifest"
+    (out / "_manifest" / "_temporary").mkdir(parents=True)
+    r = run_stage_checkpointed(
+        spark, df, str(out), "assemble", n_buckets=4,
+        input_fingerprint="fx",
+    )
+    assert r["buckets_skipped"] == 0
+    assert read_stage(spark, str(out), "assemble").count() == len(
+        transcripts
+    )

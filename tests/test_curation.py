@@ -551,3 +551,23 @@ def test_strip_boilerplate_lines(spark):
     )
     out2 = strip_boilerplate_lines(df2, max_line_df=3).collect()
     assert all(r.n_dropped == 1 for r in out2)
+
+
+def test_strip_boilerplate_null_text_doc_survives(spark):
+    """NULL text is the empty document, not a vanishing one: posexplode
+    over split(NULL) yields no rows, which silently dropped the doc from
+    the output before the coalesce (ADVICE r4) — funnel accounting then
+    attributed the loss to nothing."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [(0, "Some Real Content Line"), (1, None), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in strip_boilerplate_lines(df, max_line_df=3).collect()
+    }
+    assert set(out) == {0, 1, 2}  # every input id present
+    assert out[1] == ("", 1, 0)  # one (empty, short-exempt) line kept
+    assert out[2] == ("", 1, 0)

@@ -854,3 +854,33 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             for r in connected_components(edf, vertices=vdf).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_connected_components_pair_round_budget_is_exact(spark):
+    """max_iter is a hard budget: when the inner span loop exhausts it,
+    the cadence pair is SKIPPED and convergence is checked between the
+    last two in-budget states — previously up to max_iter+1 pair-rounds
+    ran and the error message undercounted the work (ADVICE r4).
+
+    A triangle star-ifies in exactly one pair-round, but detecting the
+    fixed point takes a second (comparison) pair: max_iter=1 must now
+    raise (only one pair may run; initial vs after-1 differ), while
+    max_iter=2 converges."""
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        connected_components,
+    )
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge in 1"):
+        connected_components(tri, max_iter=1, check_every=4)
+    labels = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            tri, max_iter=2, check_every=4
+        ).collect()
+    }
+    assert labels == {0: 0, 1: 0, 2: 0}

@@ -353,6 +353,147 @@ GROUP BY levcat ORDER BY count DESC, levcat
 """
 
 
+# ---- E8/A7/A8: opcode-summary family (VERDICT r4 item 1) -------------
+#
+# Deterministic corruption-pair table over the documents tokens: five
+# pair shapes cycle by token position so every get_op_str branch runs
+# (match / e→c substitutions / trailing insert / trailing delete /
+# underscore-split x/X generalization).  The same derivation exists in
+# three engines: Catalyst below, DuckDB SQL (_SQL_OPCODE_PAIRS_CTE), and
+# pure Python (tools/make_expected.derive_opcode_pairs — the fixture
+# generator).  E8/A7 oracles equality-join the frozen sequential-kernel
+# outputs (fixtures/expected_opcodes/); A8's oracle recomputes leven
+# with DuckDB's OWN levenshtein — the pair shapes are transposition-free
+# by construction, so OSA and plain Levenshtein agree.
+
+
+def _opcode_pair_table(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(_tokens_portable(F.lower("text"))).alias(
+            "pos", "tok"
+        ),
+    )
+    v = F.pmod(F.col("pos"), F.lit(5))
+    token = F.when(
+        v == 4,
+        F.concat(
+            F.substring("tok", 1, 1), F.lit("_"), F.expr("substring(tok, 2)")
+        ),
+    ).otherwise(F.col("tok"))
+    ocrtok = (
+        F.when(v == 1, F.regexp_replace("tok", "e", "c"))
+        .when(v == 2, F.concat(F.col("tok"), F.lit("x")))
+        .when(v == 3, F.expr("left(tok, length(tok) - 1)"))
+        .otherwise(F.col("tok"))
+    )
+    return toks.select(
+        "doc_id", "pos", token.alias("token"), ocrtok.alias("ocrtok")
+    )
+
+
+def _annotated_opcode_pairs(spark, sf_dir):
+    from memo_fraktur_ocr_code_spark.operators.annotate import (
+        annotate_pair_measures,
+    )
+
+    return annotate_pair_measures(_opcode_pair_table(spark, sf_dir))
+
+
+def _q_opcode_summary(spark, sf_dir):
+    """E8 — per-pair opcode summary strings (myutils/__init__.py:233-246
+    via the Arrow pandas-UDF kernel); oracle = frozen sequential-kernel
+    fixture, fingerprint-keyed (tools/make_expected.py)."""
+    return (
+        _annotated_opcode_pairs(spark, sf_dir)
+        .select("doc_id", "pos", "token", "ocrtok", "leven", "subst")
+        .orderBy("doc_id", "pos")
+    )
+
+
+_FIXTURE_FPR_WHERE = """
+  e.n_docs  = (SELECT count(*) FROM documents)
+  AND e.n_chars = (SELECT sum(length(text)) FROM documents)
+  AND e.content_hash =
+      (SELECT bit_xor(md5_number_lower(text)) FROM documents)
+"""
+
+_SQL_OPCODE_SUMMARY = f"""
+SELECT e.doc_id, e.pos, e.token, e.ocrtok, e.leven, e.subst
+FROM read_parquet(
+  '{os.path.dirname(os.path.abspath(__file__))}/fixtures/expected_opcodes/*.parquet') e
+WHERE {_FIXTURE_FPR_WHERE}
+ORDER BY e.doc_id, e.pos
+"""
+
+
+def _q_opcode_breakdown(spark, sf_dir):
+    """A7 — substitution-opcode frequency breakdown
+    (analyze_gold_vrt.py:227-231) over the corruption pairs; oracle
+    re-aggregates the frozen per-pair fixture in DuckDB, so the
+    distributed groupBy+broadcast-total plan is checked against an
+    independent aggregation of sequential-kernel outputs."""
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        opcode_breakdown,
+    )
+
+    return opcode_breakdown(_annotated_opcode_pairs(spark, sf_dir))
+
+
+_SQL_OPCODE_BREAKDOWN = f"""
+WITH e AS (
+  SELECT e.subst FROM read_parquet(
+    '{os.path.dirname(os.path.abspath(__file__))}/fixtures/expected_opcodes/*.parquet') e
+  WHERE {_FIXTURE_FPR_WHERE})
+SELECT subst, count(*) AS count,
+       CAST(floor(count(*) * 10000 / sum(count(*)) OVER ()) AS BIGINT)
+         AS pct_bp
+FROM e GROUP BY subst ORDER BY count DESC, subst
+"""
+
+
+def _q_error_cases(spark, sf_dir):
+    """A8 — unique (correct, ocr) pairs with leven in [2, 3], tabulated
+    (analyze_gold_vrt.py:203-207).  The oracle recomputes the pair table
+    AND the edit distance entirely in DuckDB (its own levenshtein) — a
+    genuinely independent cross-engine check, no fixture involved."""
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        error_cases,
+    )
+
+    return error_cases(_annotated_opcode_pairs(spark, sf_dir), n=2, m=3)
+
+
+_SQL_OPCODE_PAIRS_CTE = f"""
+ls AS (SELECT doc_id, {_TOK_SQL.format(col="lower(text)")} AS la
+       FROM documents),
+toks AS (SELECT doc_id, i - 1 AS pos, la[i] AS tok
+         FROM (SELECT doc_id, la,
+                      unnest(range(1, len(la) + 1)) AS i
+               FROM ls)),
+op_pairs AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos % 5 = 4 THEN tok[1:1] || '_' || tok[2:]
+              ELSE tok END AS token,
+         CASE pos % 5
+           WHEN 1 THEN replace(tok, 'e', 'c')
+           WHEN 2 THEN tok || 'x'
+           WHEN 3 THEN left(tok, len(tok) - 1)
+           ELSE tok END AS ocrtok
+  FROM toks)
+"""
+
+_SQL_ERROR_CASES = f"""
+WITH {_SQL_OPCODE_PAIRS_CTE}
+SELECT token, ocrtok, count(*) AS n_cases
+FROM op_pairs
+WHERE levenshtein(token, ocrtok) BETWEEN 2 AND 3
+GROUP BY token, ocrtok
+ORDER BY n_cases, token, ocrtok
+"""
+
+
 def _q_w1_token_enum(spark, sf_dir):
     d = _docs_multiline(spark, sf_dir)
     lines = d.select(
@@ -2080,8 +2221,7 @@ _SQL_PIPELINE_CORRECT_TURNS = f"""
 SELECT e.conv_id, e.turn_idx, e.corrected_text
 FROM read_parquet(
   '{os.path.dirname(os.path.abspath(__file__))}/fixtures/expected_corrected/*.parquet') e
-WHERE e.n_docs  = (SELECT count(*) FROM documents)
-  AND e.n_chars = (SELECT sum(length(text)) FROM documents)
+WHERE {_FIXTURE_FPR_WHERE}
 """
 
 
@@ -2888,6 +3028,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * strip_boilerplate — CCNet-style line-level boilerplate removal
       (drop lines whose normalized form appears in > max_line_df
       documents; short lines exempt; order-preserving re-assembly)
+
+    plus round-5 additions (the opcode family E8/A7/A8 — previously the
+    only operators verified solely by the repo's own spec equality):
+
+    * opcode_summary — per-pair SequenceMatcher opcode strings vs the
+      frozen sequential-kernel fixture (fixtures/expected_opcodes/)
+    * opcode_breakdown — A7 substitution-frequency breakdown, oracle
+      re-aggregates the frozen per-pair fixture independently
+    * error_cases — A8 leven∈[2,3] pair tabulation; DuckDB recomputes
+      the edit distance itself (no fixture — fully independent)
     """
     return {
         "a1_salted_unigram_freq": _q_a1_salted,
@@ -2908,6 +3058,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": _q_bigram_lm,
         "domain_mix_weights": _q_domain_mix,
         "strip_boilerplate": _q_strip_boilerplate,
+        # r5 additions: the opcode family's first independent
+        # cross-engine checks (E8/A7 vs frozen sequential-kernel
+        # fixtures, A8 vs DuckDB's own levenshtein)
+        "opcode_summary": _q_opcode_summary,
+        "opcode_breakdown": _q_opcode_breakdown,
+        "error_cases": _q_error_cases,
     }
 
 
@@ -2979,4 +3135,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": _SQL_BIGRAM_LM,
         "domain_mix_weights": _SQL_DOMAIN_MIX,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
+        "opcode_summary": _SQL_OPCODE_SUMMARY,
+        "opcode_breakdown": _SQL_OPCODE_BREAKDOWN,
+        "error_cases": _SQL_ERROR_CASES,
     }

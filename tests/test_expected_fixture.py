@@ -96,3 +96,68 @@ def test_frozen_fixtures_fresh_against_testdata():
             f" live ({n_docs}, {n_chars})) —"
             " rerun tools/make_expected.py"
         )
+
+
+def test_pure_python_opcode_pairs_match_spark(spark):
+    """derive_opcode_pairs (zero Spark) must reproduce
+    __spark_entry__._opcode_pair_table row-for-row — the frozen opcode
+    fixture must describe exactly the pair table the Spark queries
+    annotate."""
+    import __spark_entry__ as entrymod
+    from tools.make_expected import derive_opcode_pairs
+
+    got = {
+        (r.doc_id, r.pos): (r.token, r.ocrtok)
+        for r in entrymod._opcode_pair_table(spark, SF_SMALL).collect()
+    }
+    tbl = pq.read_table(
+        os.path.join(SF_SMALL, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    want = {}
+    for did, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        for d, p, a, b in derive_opcode_pairs(did, text):
+            want[(d, p)] = (a, b)
+    assert got == want
+
+
+def test_frozen_fixtures_content_hash_fresh():
+    """The content-hash component of the fingerprint (r5): a content
+    edit preserving (n_docs, n_chars) must still miss the fixture.  Both
+    fixture families carry it and it must match the live corpus."""
+    from tools.make_expected import OPCODE_OUT_DIR, content_hash_of
+
+    for out_dir in (OUT_DIR, OPCODE_OUT_DIR):
+        fixtures = sorted(
+            glob.glob(os.path.join(out_dir, "expected_*.parquet"))
+        )
+        assert fixtures, f"no frozen fixtures in {out_dir}"
+        for f in fixtures:
+            t = pq.read_table(f, columns=["content_hash"])
+            tag = os.path.basename(f)[
+                len("expected_") : -len(".parquet")
+            ]
+            sf_dir = f"/root/testdata/{tag}"
+            if not os.path.isdir(sf_dir):
+                continue
+            texts = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["text"],
+            ).column("text").to_pylist()
+            assert t.column("content_hash")[0].as_py() == (
+                content_hash_of(texts)
+            ), f"{f} content_hash stale — rerun tools/make_expected.py"
+
+
+def test_content_hash_detects_length_preserving_edit():
+    """The weakness the hash closes (VERDICT r4 'What's wrong #3'): two
+    corpora with identical (n_docs, n_chars) but different content must
+    fingerprint differently."""
+    from tools.make_expected import content_hash_of
+
+    a = ["hello world", "spark graft"]
+    b = ["hello worle", "spark graft"]  # same lengths, one char differs
+    assert content_hash_of(a) != content_hash_of(b)
+    assert content_hash_of(a) == content_hash_of(list(a))

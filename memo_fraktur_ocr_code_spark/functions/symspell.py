@@ -12,9 +12,11 @@ deterministically:
 * TOP selection — smallest distance, then highest count, then
   lexicographically smallest term (explicit total order: symspellpy's
   tie-break on insertion order is replaced by a deterministic one);
-* transfer_casing — simplified, deterministic: all-upper input uppercases
-  the suggestion, initial-capital input capitalizes it (the char-level
-  diff transfer of symspellpy is not part of our spec).
+* transfer_casing — the faithful char-level diff transfer of
+  symspellpy's ``transfer_casing_for_similar_text`` (helpers.py, public
+  algorithm; r5 — replaces the earlier two-rule simplification): align
+  ``lower(original)`` to the suggestion with sequence-matcher opcodes
+  and copy casing per block (see ``transfer_casing``).
 
 The index is built once on the driver from the broadcast lexicon table and
 shipped to executors via ``SparkContext.broadcast``; lookups run inside
@@ -25,6 +27,7 @@ make the memo hit rate very high).
 from __future__ import annotations
 
 from collections import defaultdict
+from difflib import SequenceMatcher
 
 from memo_fraktur_ocr_code_spark.functions.levtools import osa_distance
 from memo_fraktur_ocr_code_spark.functions.textspec import (
@@ -123,13 +126,48 @@ class SymSpellIndex:
 
 
 def transfer_casing(original: str, suggestion: str) -> str:
-    """Deterministic casing transfer (spec simplification of symspellpy's
-    ``transfer_casing=True``)."""
-    if original.isupper() and len(original) > 1:
-        return suggestion.upper()
-    if original[:1].isupper():
-        return suggestion[:1].upper() + suggestion[1:]
-    return suggestion
+    """Char-level casing transfer — the faithful semantics of
+    symspellpy's ``transfer_casing_for_similar_text`` (helpers.py; the
+    reference drives lookups with ``transfer_casing=True``,
+    memoocr/correct_ocr.py:352).  Align ``lower(original)`` against the
+    suggestion with sequence-matcher opcodes and copy casing per block:
+
+    * ``equal``  — emit the ORIGINAL slice (identical letters, so this
+      preserves interior mixed case: 'HuS'→'HuS', 'McDonald' stays);
+    * ``delete`` — original-only characters vanish;
+    * ``insert`` — suggestion-only characters take the case of the
+      preceding original character (or the following one at the start
+      or after a space);
+    * ``replace`` — positional per-character transfer; when the
+      suggestion segment is longer, the LAST seen case carries over the
+      overhang ('HUS'→'hund' gives 'HUND', the trailing insertion
+      inheriting upper).
+
+    Deterministic: difflib's block selection is itself deterministic for
+    fixed inputs, and the single-node spec oracle shares this exact
+    function, so the byte-equality contract is unchanged in kind."""
+    if not suggestion:
+        return suggestion
+    out: list[str] = []
+    for tag, i1, i2, j1, j2 in SequenceMatcher(
+        None, original.lower(), suggestion
+    ).get_opcodes():
+        if tag == "equal":
+            out.append(original[i1:i2])
+        elif tag == "insert":
+            anchor = i1 if i1 == 0 or original[i1 - 1] == " " else i1 - 1
+            if anchor < len(original) and original[anchor].isupper():
+                out.append(suggestion[j1:j2].upper())
+            else:
+                out.append(suggestion[j1:j2].lower())
+        elif tag == "replace":
+            seg_o, seg_s = original[i1:i2], suggestion[j1:j2]
+            upper = False
+            for k, ch in enumerate(seg_s):
+                if k < len(seg_o):
+                    upper = seg_o[k].isupper()
+                out.append(ch.upper() if upper else ch.lower())
+    return "".join(out)
 
 
 def get_word_suggestion(

@@ -2695,6 +2695,73 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q_incremental_minhash(spark, sf_dir):
+    """Delta-LSH near-dup dedup (r5, VERDICT r4 item 3): documents with
+    doc_id < 250 are the established corpus with a PERSISTED-shape band
+    index (lsh_band_table — never recomputed per delta in production);
+    the rest arrive as the new batch and are judged through an index
+    join + exact shingle verification, plus batch-internal pairwise
+    dominance.  Same high-recall config as dedup_minhash_lsh (char-12
+    shingles, 32 hashes × 16 bands, j ≥ 0.7 — candidate recall
+    ≈ 0.99998 per true pair), so the oracle can recompute the verdicts
+    from scratch with exact Jaccard over existing + batch."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_band_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    idx = lsh_band_table(existing, n=12, num_hashes=32, bands=16)
+    return incremental_minhash_dedup(
+        existing, idx, batch, n=12, num_hashes=32, bands=16,
+        threshold=0.7,
+    ).orderBy("doc_id")
+
+
+_SQL_INCREMENTAL_MINHASH = r"""
+WITH docs_n AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT id, u AS shingle
+  FROM (SELECT id,
+               unnest(list_transform(range(1, len(t) - 10),
+                      i -> substring(t, i, 12))) AS u
+        FROM docs_n WHERE len(t) >= 12)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.7),
+-- existing ids are all < 250 and batch ids >= 250, so with id_a < id_b
+-- an (existing, batch) pair always has id_a < 250 <= id_b
+ex_dups AS (
+  SELECT id_b AS id, count(*) AS n FROM jac
+  WHERE id_a < 250 GROUP BY id_b),
+prior AS (
+  SELECT id_b AS id, count(*) AS n FROM jac
+  WHERE id_a >= 250 GROUP BY id_b)
+SELECT b.doc_id,
+       coalesce(e.n, 0) AS n_existing_dups,
+       coalesce(p.n, 0) AS n_batch_prior_dups,
+       CASE WHEN coalesce(e.n, 0) = 0 AND coalesce(p.n, 0) = 0
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) b
+LEFT JOIN ex_dups e ON e.id = b.doc_id
+LEFT JOIN prior  p ON p.id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def _q_pack_tokens(spark, sf_dir):
     """Token-budget pack assignment for training-shard assembly: docs
     hashed into 8 shards, quota-packed at 200 tokens within each shard.
@@ -3064,6 +3131,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opcode_summary": _q_opcode_summary,
         "opcode_breakdown": _q_opcode_breakdown,
         "error_cases": _q_error_cases,
+        "incremental_minhash_dedup": _q_incremental_minhash,
     }
 
 
@@ -3138,4 +3206,5 @@ def oracle_sql() -> dict[str, str]:
         "opcode_summary": _SQL_OPCODE_SUMMARY,
         "opcode_breakdown": _SQL_OPCODE_BREAKDOWN,
         "error_cases": _SQL_ERROR_CASES,
+        "incremental_minhash_dedup": _SQL_INCREMENTAL_MINHASH,
     }

@@ -228,6 +228,235 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows from a signature table — ONE banding
+    definition (``xxhash64(band, sig[slice])``) shared by the one-shot
+    ``minhash_lsh_pairs`` and the persisted incremental index
+    (:func:`lsh_band_table`), so an index written by one is joinable by
+    the other by construction."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (id, band, bucket) — what a
+    production pipeline writes once at ingest (bucketed by
+    ``(band, bucket)``) and appends a delta to after every
+    :func:`incremental_minhash_dedup` round, so the next delta's
+    candidate lookup is an index join, never a corpus recompute."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, max_df)
+    return _band_rows(sigs, num_hashes, bands)
+
+
+def band_index_candidates(
+    existing_bands: DataFrame, batch_bands: DataFrame
+) -> DataFrame:
+    """Distinct candidate (batch_id, exist_id) pairs from two band
+    tables joined on (band, bucket).  When both tables are PERSISTED
+    bucketed by (band, bucket) — the production layout for the
+    incremental index — the equi-join itself runs with ZERO Exchange
+    (plan-asserted in tests/test_operators.py); only the pair-distinct
+    aggregation shuffles, and that is candidate-sized, not
+    index-sized."""
+    return (
+        batch_bands.alias("b")
+        .join(existing_bands.alias("e"), ["band", "bucket"])
+        .select(
+            F.col("b.id").alias("batch_id"),
+            F.col("e.id").alias("exist_id"),
+        )
+        .distinct()
+    )
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    existing_bands: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delta-LSH near-dup dedup: judge a new batch against an
+    ESTABLISHED corpus via its persisted band-bucket index, plus
+    batch-internal pairwise dominance — the near-dup completion of
+    :func:`incremental_dedup` (VERDICT r4 item 3).
+
+    Verdict per batch doc — ``(id, n_existing_dups, n_batch_prior_dups,
+    keep)``:
+
+    * ``n_existing_dups``  — established docs with true Jaccard ≥
+      ``threshold`` (candidates from the index join, then exact shingle
+      verification);
+    * ``n_batch_prior_dups`` — SMALLER-id batch docs with Jaccard ≥
+      ``threshold`` (pairwise dominance — the same min-id-keeps rule
+      ``exact_dedup`` encodes; transitive chains inside one delta are
+      the next ``dedup_clusters`` compaction's job, documented, not
+      silently resolved);
+    * ``keep = 1`` iff both counts are 0.
+
+    The caller appends ``lsh_band_table(kept batch docs)`` to the index
+    (see :func:`merge_band_delta`) — signatures of the established
+    corpus are NEVER recomputed; its text is touched only for the
+    candidate ids (semi-join pushdown below).
+
+    Scale shape: the candidate lookup is an equi-join of the batch's
+    band rows (∝ batch size × bands) against the persisted index — with
+    both sides bucketed by ``(band, bucket)`` the join is shuffle-free
+    (plan-asserted in tests/test_operators.py).  Exact verification
+    joins batch shingles against shingles of ONLY the candidate
+    established docs (a semi-join prunes the text scan), so verify cost
+    is ∝ candidates × shingles-per-doc, never corpus-sized.  Recall
+    bound is ``minhash_lsh_pairs``'s: 1-(1-j^rows)^bands per true pair.
+    """
+    assert num_hashes % bands == 0
+    sh_b = shingle_table(batch, id_col, text_col, n).cache()
+    sigs_b = _signatures_from_shingles(sh_b, num_hashes)
+    bands_b = _band_rows(sigs_b, num_hashes, bands).cache()
+
+    # --- candidates vs the established corpus: index join, no recompute
+    cand_exist = band_index_candidates(existing_bands, bands_b)
+    # exact verification: shingle only the candidate established docs
+    cand_ids = cand_exist.select(
+        F.col("exist_id").alias(id_col)
+    ).distinct()
+    ex_docs = existing.join(cand_ids, id_col, "left_semi")
+    sh_e = shingle_table(ex_docs, id_col, text_col, n).cache()
+    sz_b = sh_b.groupBy("id").agg(F.count("*").alias("sz"))
+    sz_e = sh_e.groupBy("id").agg(F.count("*").alias("sz"))
+    inter_e = (
+        cand_exist.join(
+            sh_b.select(F.col("id").alias("batch_id"), "shingle"),
+            "batch_id",
+        )
+        .join(
+            sh_e.select(F.col("id").alias("exist_id"), "shingle"),
+            ["exist_id", "shingle"],
+        )
+        .groupBy("batch_id", "exist_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    dup_exist = (
+        inter_e.join(
+            sz_b.select(F.col("id").alias("batch_id"), F.col("sz").alias("sz_b")),
+            "batch_id",
+        )
+        .join(
+            sz_e.select(F.col("id").alias("exist_id"), F.col("sz").alias("sz_e")),
+            "exist_id",
+        )
+        .where(
+            F.col("inter")
+            / (F.col("sz_b") + F.col("sz_e") - F.col("inter"))
+            >= threshold
+        )
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_existing_dups"))
+    )
+
+    # --- batch-internal pairwise dominance (smaller id wins)
+    cand_batch = (
+        bands_b.alias("l")
+        .join(bands_b.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    inter_b = (
+        cand_batch.join(
+            sh_b.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh_b.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    dom_batch = (
+        inter_b.join(
+            sz_b.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sz_b.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .where(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= threshold
+        )
+        .groupBy("id_b")
+        .agg(F.count("*").alias("n_batch_prior_dups"))
+    )
+
+    out = (
+        batch.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(
+            dup_exist.withColumnRenamed("batch_id", "id"), "id", "left"
+        )
+        .join(dom_batch.withColumnRenamed("id_b", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_existing_dups", F.lit(0)).alias(
+                "n_existing_dups"
+            ),
+            F.coalesce("n_batch_prior_dups", F.lit(0)).alias(
+                "n_batch_prior_dups"
+            ),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_existing_dups") == 0)
+                & (F.col("n_batch_prior_dups") == 0)
+            ).cast("int"),
+        )
+    )
+    return out
+
+
+def merge_band_delta(
+    existing_bands: DataFrame,
+    batch_bands: DataFrame,
+    kept_ids: DataFrame,
+) -> DataFrame:
+    """The index append after a delta round: established band rows plus
+    the band rows of the KEPT batch docs (``kept_ids``: single column
+    ``id``).  In production this is an append-only write into the
+    (band, bucket)-bucketed index table — no rewrite of prior rows."""
+    return existing_bands.unionByName(
+        batch_bands.join(kept_ids.select("id"), "id", "left_semi")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -277,26 +506,12 @@ def minhash_lsh_pairs(
         " silently drop trailing hash functions from every band and"
         " change the documented recall bound"
     )
-    rows = num_hashes // bands
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
     sh = sh.cache()  # one shingle explode feeds signatures AND verify
     sigs = _signatures_from_shingles(sh, num_hashes).cache()
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col("sig")[b * rows + r] for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _band_rows(sigs, num_hashes, bands)
     cand = (
         banded.alias("l")
         .join(

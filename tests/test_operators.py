@@ -884,3 +884,141 @@ def test_connected_components_pair_round_budget_is_exact(spark):
         ).collect()
     }
     assert labels == {0: 0, 1: 0, 2: 0}
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+_LONG_A = (
+    "the quick brown fox jumps over the lazy dog while the spark "
+    "executor shuffles partitions across the cluster network fabric "
+    "and the catalyst optimizer prunes every unused column away"
+)
+_LONG_B = (
+    "completely different content about iceberg table formats and "
+    "manifest files tracking snapshots for atomic commits across "
+    "petabyte scale object storage with hidden partitioning"
+)
+_LONG_C = (
+    "training data curation requires deduplication quality filtering "
+    "language identification and careful benchmark decontamination "
+    "before any tokens ever reach the model optimizer loop"
+)
+_LONG_D = (
+    "streaming watermarks bound the state store while late events "
+    "get folded into their windows until the watermark passes and "
+    "the aggregate finally emits downstream to the sink"
+)
+
+
+def test_incremental_minhash_dedup_two_delta_growth(spark):
+    """The delta-LSH merge-on-read story across TWO deltas: batch docs
+    near-dup of the established corpus drop via the index join; a
+    batch-internal near-dup is dominated by its smaller sibling; the
+    kept docs' band rows are appended (merge_band_delta) and the NEXT
+    delta's near-dup of a previously-kept doc drops through the updated
+    index — no established signature ever recomputed."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        lsh_band_table,
+        merge_band_delta,
+    )
+
+    kw = dict(n=12, num_hashes=32, bands=16, threshold=0.7)
+    near_a = _LONG_A.replace("lazy dog", "lazy cat")
+    near_c = _LONG_C.replace("careful", "casual")
+    near_c2 = _LONG_C.replace("quality", "qualitee")
+
+    existing = _mk_docs(spark, [(0, _LONG_A), (1, _LONG_B)])
+    idx = lsh_band_table(existing, **{k: kw[k] for k in ("n", "num_hashes", "bands")})
+
+    batch1 = _mk_docs(
+        spark, [(10, near_a), (11, _LONG_C), (12, near_c)]
+    )
+    v1 = {
+        r.doc_id: (r.n_existing_dups, r.n_batch_prior_dups, r.keep)
+        for r in incremental_minhash_dedup(
+            existing, idx, batch1, **kw
+        ).collect()
+    }
+    assert v1[10][0] >= 1 and v1[10][2] == 0  # dup of existing 0
+    assert v1[11] == (0, 0, 1)  # novel -> kept
+    assert v1[12][1] >= 1 and v1[12][2] == 0  # dominated by 11
+
+    # append kept band rows; existing corpus grows by the kept docs
+    bands1 = lsh_band_table(
+        batch1, **{k: kw[k] for k in ("n", "num_hashes", "bands")}
+    )
+    kept1 = _mk_docs(spark, [(11, _LONG_C)]).select(
+        F.col("doc_id").alias("id")
+    )
+    idx2 = merge_band_delta(idx, bands1, kept1)
+    existing2 = existing.unionByName(_mk_docs(spark, [(11, _LONG_C)]))
+
+    batch2 = _mk_docs(spark, [(20, near_c2), (21, _LONG_D)])
+    v2 = {
+        r.doc_id: (r.n_existing_dups, r.n_batch_prior_dups, r.keep)
+        for r in incremental_minhash_dedup(
+            existing2, idx2, batch2, **kw
+        ).collect()
+    }
+    # 20 matches doc 11 ONLY through the appended delta band rows
+    assert v2[20][0] >= 1 and v2[20][2] == 0
+    assert v2[21] == (0, 0, 1)
+
+
+def test_band_index_candidate_join_is_shuffle_free_over_buckets(
+    spark, tmp_path
+):
+    """The production layout contract: with the established index AND
+    the batch band rows persisted as (band, bucket)-bucketed tables,
+    the candidate equi-join satisfies both sides' distribution straight
+    off the scan — zero Exchange in the join plan."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        lsh_band_table,
+    )
+
+    existing = _mk_docs(spark, [(0, _LONG_A), (1, _LONG_B)])
+    batch = _mk_docs(spark, [(10, _LONG_C), (11, _LONG_D)])
+    kw = dict(n=12, num_hashes=32, bands=16)
+    spark.sql("DROP TABLE IF EXISTS t_band_idx")
+    spark.sql("DROP TABLE IF EXISTS t_band_batch")
+    try:
+        for tbl, df in (
+            ("t_band_idx", lsh_band_table(existing, **kw)),
+            ("t_band_batch", lsh_band_table(batch, **kw)),
+        ):
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(8, "band", "bucket")
+                .sortBy("band", "bucket")
+                .option("path", str(tmp_path / tbl))
+                .saveAsTable(tbl)
+            )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_band_batch").join(
+                spark.table("t_band_idx"), ["band", "bucket"]
+            )
+            plan = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning" not in plan, plan
+            # sanity: same join over plain (bucket-spec-less) reads DOES
+            # shuffle — the elision comes from the layout, not the data
+            raw = spark.read.parquet(str(tmp_path / "t_band_batch")).join(
+                spark.read.parquet(str(tmp_path / "t_band_idx")),
+                ["band", "bucket"],
+            )
+            raw_plan = (
+                raw._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange hashpartitioning" in raw_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_band_idx")
+        spark.sql("DROP TABLE IF EXISTS t_band_batch")

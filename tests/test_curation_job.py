@@ -18,3 +18,82 @@ def test_curation_job_demo(spark, tmp_path):
         "val", 0
     )
     assert summary["total_tokens"] > 0
+
+
+def test_curation_kill_and_resume_skips_finished_stages(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the 'gated' stage, resume with --resume semantics:
+    finished stages must NOT re-run their operators (asserted by
+    poisoning them), the in-flight stage completes, and the funnel
+    equals an uninterrupted run's (r5 — stage materialization through
+    the checkpoint-manifest layer)."""
+    import json
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import memo_fraktur_ocr_code_spark.operators.curation as cur_mod
+    import memo_fraktur_ocr_code_spark.operators.textstats as ts_mod
+    from jobs.run_curation import curate
+
+    texts = [
+        (
+            i,
+            "Planted Common Header Line\n"
+            + (
+                "the quiet harbor town number %d keeps a long record of"
+                " every ship that ever came to trade in salt and wool"
+                " and the people there still read the old pages aloud"
+                % i
+            ),
+        )
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    out_crash = str(tmp_path / "crash_run")
+    out_fresh = str(tmp_path / "fresh_run")
+
+    real_redact = cur_mod.redact_pii
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(cur_mod, "redact_pii", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curate(spark, docs, out_crash, budget=100, n_shards=4)
+    state = json.load(open(f"{out_crash}/stage_state.json"))
+    assert state["stages"] == ["cleaned", "gated"]
+
+    # resume: stages 1-2 are read back, never recomputed — poison their
+    # operators so any recompute fails loudly
+    monkeypatch.setattr(cur_mod, "redact_pii", real_redact)
+    monkeypatch.setattr(
+        cur_mod,
+        "strip_boilerplate_lines",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("stage 'cleaned' recomputed on resume")
+        ),
+    )
+    monkeypatch.setattr(
+        ts_mod,
+        "quality_gate_verdict",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("stage 'gated' recomputed on resume")
+        ),
+    )
+    resumed = curate(
+        spark, docs, out_crash, budget=100, n_shards=4, resume=True
+    )
+    monkeypatch.undo()
+
+    fresh = curate(spark, docs, out_fresh, budget=100, n_shards=4)
+    assert resumed["funnel"] == fresh["funnel"]
+    assert resumed["splits"] == fresh["splits"]
+    assert resumed["total_tokens"] == fresh["total_tokens"]
+    # the manifest carries per-bucket lineage for every stage
+    m = spark.read.parquet(f"{out_crash}/stages/_manifest")
+    stages_in_manifest = {
+        r.stage for r in m.select("stage").distinct().collect()
+    }
+    assert {"cleaned", "gated", "exact", "near"} <= stages_in_manifest

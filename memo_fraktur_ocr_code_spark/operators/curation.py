@@ -80,7 +80,16 @@ def decontaminate(
     Every training document appears in the output exactly once — docs
     with no grams (shorter than ``n`` tokens) report 0 hits rather
     than vanishing, so downstream anti-joins can use the verdict
-    column directly."""
+    column directly.
+
+    The gram join is deliberately UNHINTED (r5 — the same treatment as
+    ``strip_boilerplate_lines``'s hot-line join): the "bench is small"
+    premise usually holds, but a 10^6-doc eval suite × 10²-10³ distinct
+    13-grams per doc approaches the 8 GB broadcast ceiling, and a
+    forced hint there would kill the job.  AQE broadcasts the gram set
+    when it measures small and falls back to a shuffle join on the gram
+    key when it doesn't — the no-assumptions plan at both scales
+    (tests pin the AQE choice for a small and an oversized bench)."""
     bench_grams = (
         word_ngram_table(bench, id_col, text_col, n)
         .select("gram")
@@ -88,7 +97,7 @@ def decontaminate(
     )
     hits = (
         word_ngram_table(train, id_col, text_col, n)
-        .join(F.broadcast(bench_grams), "gram")
+        .join(bench_grams, "gram")
         .groupBy("id")
         .agg(F.count("*").alias("n_hits"))
     )

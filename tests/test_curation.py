@@ -571,3 +571,48 @@ def test_strip_boilerplate_null_text_doc_survives(spark):
     assert set(out) == {0, 1, 2}  # every input id present
     assert out[1] == ("", 1, 0)  # one (empty, short-exempt) line kept
     assert out[2] == ("", 1, 0)
+
+
+def test_decontaminate_join_is_unhinted_aqe_decides(spark):
+    """r5 (VERDICT r4 item 5): the bench-gram join carries NO broadcast
+    hint.  With default thresholds AQE broadcasts the (small) gram set;
+    with the broadcast threshold off, the SAME code degrades to a
+    shuffle join instead of force-broadcasting an unbounded set — the
+    behavior a forced hint would make impossible.  Verdicts identical
+    on both paths."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        decontaminate,
+    )
+
+    gram13 = " ".join(f"w{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [
+            (0, gram13 + " tail tokens here"),
+            (1, "completely unrelated words " * 5),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, gram13)], "doc_id bigint, text string"
+    )
+
+    def run_and_plan():
+        df = decontaminate(train, bench)
+        rows = {
+            r.doc_id: (r.n_hits, r.contaminated) for r in df.collect()
+        }
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    rows_b, plan_b = run_and_plan()
+    assert "BroadcastHashJoin" in plan_b  # AQE's pick for a small bench
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows_s, plan_s = run_and_plan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan_s  # shuffle path taken
+    assert rows_s == rows_b
+    assert rows_b[0] == (1, 1) and rows_b[1] == (0, 0)

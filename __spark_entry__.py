@@ -1934,25 +1934,19 @@ def _q_sim_ivf_trained_topk(spark, sf_dir):
     )
 
 
-def _sql_ivf_trained_topk(
-    dim: int = 64,
-    n_lists: int = 8,
-    n_probe: int = 2,
-    k: int = 5,
-    iters: int = 2,
-) -> str:
-    """DuckDB twin of the trained-codebook IVF: unrolls ``iters`` Lloyd
-    rounds with the identical exact-fixed-point mean arithmetic
-    (floor-quantize to 1e-6, associative integer sums, explicit floor
-    division), then the same probe + exact re-rank as _sql_ivf_topk."""
+def _sql_lloyd_prefix(
+    dim: int = 64, n_lists: int = 8, iters: int = 2
+) -> tuple[str, str, str]:
+    """The unrolled-Lloyd WITH-prefix shared by the trained-IVF oracle
+    and the cluster_assign oracle (r5): returns ``(prefix, final_cte,
+    sim_vc)`` where ``prefix`` defines ``v`` (the training corpus),
+    ``c0`` (smallest-id init) and ``c1..cN`` (the exact-fixed-point
+    Lloyd rounds: floor-quantize to 1e-6, associative integer sums,
+    explicit floor division), ``final_cte`` names the trained codebook,
+    and ``sim_vc`` is the vv↔cv cosine expression."""
     sim_vc = (
         f"{_sql_vec_dot('vv', 'cv', dim)}"
         f" / (sqrt({_sql_vec_dot('vv', 'vv', dim)})"
-        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
-    )
-    sim_qc = (
-        f"{_sql_vec_dot('qv', 'cv', dim)}"
-        f" / (sqrt({_sql_vec_dot('qv', 'qv', dim)})"
         f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
     )
     sums = ", ".join(
@@ -1984,14 +1978,34 @@ c{it} AS (
          CASE WHEN s{it}.n IS NULL THEN {prev}.cv ELSE [{means}] END AS cv
   FROM {prev} LEFT JOIN s{it} USING (list_id))"""
         prev = f"c{it}"
-    return f"""
+    prefix = f"""
 WITH v AS (
   SELECT vec_id AS neighbor_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
   FROM embeddings WHERE vec_id >= 10),
 c0 AS (
   SELECT neighbor_id AS list_id, vv AS cv
-  FROM v ORDER BY neighbor_id LIMIT {n_lists}){cte},
+  FROM v ORDER BY neighbor_id LIMIT {n_lists}){cte}"""
+    return prefix, prev, sim_vc
+
+
+def _sql_ivf_trained_topk(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of the trained-codebook IVF: the shared unrolled-
+    Lloyd prefix (``_sql_lloyd_prefix``), then the same probe + exact
+    re-rank as _sql_ivf_topk."""
+    prefix, prev, sim_vc = _sql_lloyd_prefix(dim, n_lists, iters)
+    sim_qc = (
+        f"{_sql_vec_dot('qv', 'cv', dim)}"
+        f" / (sqrt({_sql_vec_dot('qv', 'qv', dim)})"
+        f" * sqrt({_sql_vec_dot('cv', 'cv', dim)}))"
+    )
+    return f"""{prefix},
 assigned AS (
   SELECT neighbor_id, vv, list_id
   FROM (SELECT neighbor_id, vv, list_id,
@@ -2020,6 +2034,55 @@ ranked AS (
   FROM cand)
 SELECT query_id, neighbor_id, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _q_cluster_assign(spark, sf_dir):
+    """Trained-kmeans cluster assignment as a first-class operator (r5,
+    VERDICT r4 item 6): train the codebook on the corpus vectors
+    (vec_id ≥ 10, the same 2-iteration Lloyd as sim_ivf_trained_topk),
+    then assign EVERY embedding — including the held-out vec_id < 10,
+    i.e. points the codebook never saw — to its nearest list.  c_sim is
+    emitted as floor(c_sim·1e6) BIGINT: the cosine fold order is
+    bit-identical across engines (left fold, same op sequence), so the
+    quantization is deterministic, and integer output keeps the value
+    hash immune to float formatting."""
+    corpus = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") >= 10)
+    cents = sim_ops.kmeans_centroids(corpus, dim=64, n_lists=8, iters=2)
+    out = sim_ops.cluster_assign(
+        _t(spark, sf_dir, "embeddings"), cents
+    )
+    return out.select(
+        "vec_id",
+        "list_id",
+        F.expr("CAST(floor(c_sim * 1000000) AS BIGINT)").alias(
+            "c_sim_e6"
+        ),
+    ).orderBy("vec_id")
+
+
+def _sql_cluster_assign(
+    dim: int = 64, n_lists: int = 8, iters: int = 2
+) -> str:
+    """cluster_assign oracle: the SAME unrolled-Lloyd prefix as the
+    trained-IVF oracle (shared `_sql_lloyd_prefix`), then an
+    independent per-vector argmax over all embeddings."""
+    prefix, prev, sim_vc = _sql_lloyd_prefix(dim, n_lists, iters)
+    return f"""{prefix},
+allv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+best AS (
+  SELECT id, list_id, c_sim
+  FROM (SELECT id, list_id, {sim_vc} AS c_sim,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM allv CROSS JOIN {prev} AS c) t
+  WHERE rn = 1)
+SELECT id AS vec_id, list_id,
+       CAST(floor(c_sim * 1000000) AS BIGINT) AS c_sim_e6
+FROM best ORDER BY vec_id
 """
 
 
@@ -3132,6 +3195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opcode_breakdown": _q_opcode_breakdown,
         "error_cases": _q_error_cases,
         "incremental_minhash_dedup": _q_incremental_minhash,
+        "cluster_assign": _q_cluster_assign,
     }
 
 
@@ -3207,4 +3271,5 @@ def oracle_sql() -> dict[str, str]:
         "opcode_breakdown": _SQL_OPCODE_BREAKDOWN,
         "error_cases": _SQL_ERROR_CASES,
         "incremental_minhash_dedup": _SQL_INCREMENTAL_MINHASH,
+        "cluster_assign": _sql_cluster_assign(),
     }

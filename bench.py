@@ -65,6 +65,11 @@ HEADLINE = [
     "bigram_lm_score",
     "domain_mix_weights",
     "strip_boilerplate",
+    # r5 additions (extra_queries): delta-LSH near-dup + trained-kmeans
+    # assignment + the opcode family's fixture-verified summary
+    "incremental_minhash_dedup",
+    "cluster_assign",
+    "opcode_summary",
 ]
 
 

@@ -410,6 +410,45 @@ def kmeans_centroids(
     return cents
 
 
+def cluster_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, c_sim): nearest-centroid assignment of every vector
+    to a trained codebook — the corpus-bucketing step for semantic-mix
+    curation (assign each document embedding to its k-means list, then
+    sample/weight per list), exposed first-class (VERDICT r4 item 6)
+    instead of living only inside :func:`ivf_topk` /
+    :func:`kmeans_centroids`, whose argmax this mirrors exactly (same
+    similarity, same ``(c_sim DESC, list_id)`` tie-break).
+
+    Scale: the codebook broadcasts (n_lists × dim doubles), the corpus
+    streams through projection + a per-id argmax window — partitioned
+    by the VECTOR id, so each task ranks only its own n_lists rows;
+    there is no corpus-keyed shuffle and no global window."""
+    v = vectors.select(
+        F.col(id_col).alias("_cid"),
+        _as_double_array(vec_col).alias("vv"),
+    )
+    w = Window.partitionBy("_cid").orderBy(F.desc("c_sim"), "list_id")
+    return (
+        v.crossJoin(F.broadcast(centroids.select("list_id", "cv")))
+        .select(
+            "_cid",
+            "list_id",
+            (
+                _dot(F.col("vv"), F.col("cv"))
+                / (_norm(F.col("vv")) * _norm(F.col("cv")))
+            ).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("_cid").alias(id_col), "list_id", "c_sim")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -78,6 +78,7 @@ def curate(
         ngram_jaccard_pairs,
     )
     from memo_fraktur_ocr_code_spark.operators import textstats as ts
+    from memo_fraktur_ocr_code_spark.plans import checkpoint as ckpt
     from memo_fraktur_ocr_code_spark.plans.checkpoint import (
         read_stage,
         run_stage_checkpointed,
@@ -91,42 +92,65 @@ def curate(
     # skips every FINISHED stage entirely (its operators never run
     # again — read back from the stage parquet) and resumes a stage
     # that crashed mid-write at bucket granularity via the manifest.
-    ckpt_dir = os.path.join(out_dir, "stages")
-    state_path = os.path.join(out_dir, "stage_state.json")
-    state: dict = {"stages": []}
-    if resume and os.path.exists(state_path):
-        with open(state_path) as fh:
-            state = json.load(fh)
-    elif not resume:
-        import shutil
+    #
+    # Stage completion + its input fingerprint live in a small parquet
+    # table under the checkpoint dir, written/read through Spark — NOT
+    # a driver-local JSON: os.path/open silently miss (then crash on)
+    # hdfs:// / s3a:// out_dirs, and the fresh-run reset likewise goes
+    # through the Hadoop FS API (code-review r5).
+    ckpt_dir = f"{out_dir}/stages"
+    done_path = f"{ckpt_dir}/_stages_done"
+    if not resume:
+        ckpt.delete_recursive(spark, ckpt_dir)
 
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.remove(state_path)
+    def _stages_done() -> dict[str, str]:
+        try:
+            return {
+                r["stage"]: r["input_fingerprint"]
+                for r in spark.read.parquet(done_path).collect()
+            }
+        except Exception:
+            return {}
+
     # input fingerprint guards against resuming a DIFFERENT corpus into
-    # the same out_dir (checkpoint layer refuses on mismatch)
+    # the same out_dir — both for the in-flight stage (checkpoint layer
+    # refuses on mismatch) and for FINISHED stages (checked against the
+    # completion marker below).  Includes a content hash, not just
+    # (count, chars): a length-preserving corpus edit must not resume
+    # into stale stage outputs (code-review r5 — the same weakness the
+    # r5 fixture fingerprint closed).
     fpr = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.length("text")).alias("chars"),
+        F.expr("bit_xor(xxhash64(text))").alias("xh"),
     ).collect()[0]
-    fp = f"docs:{fpr['n']}:{fpr['chars'] or 0}"
+    fp = f"docs:{fpr['n']}:{fpr['chars'] or 0}:{fpr['xh'] or 0}"
 
     def _stage(name: str, build) -> DataFrame:
         """Materialize ``build()`` under the checkpoint manifest, or
-        read it straight back when a resume already has it."""
-        if name not in state["stages"]:
-            run_stage_checkpointed(
-                spark,
-                build(),
-                ckpt_dir,
-                name,
-                bucket_col="doc_id",
-                n_buckets=n_ckpt_buckets,
-                input_fingerprint=fp,
-            )
-            state["stages"].append(name)
-            with open(state_path, "w") as fh:
-                json.dump(state, fh)
+        read it straight back when a resume already completed it."""
+        done = _stages_done()
+        if name in done:
+            if done[name] != fp:
+                raise ValueError(
+                    f"stage '{name}' in '{ckpt_dir}' was completed for"
+                    f" input '{done[name]}', refusing to resume with"
+                    f" '{fp}' — mixing corpora across stages would emit"
+                    " shards of the wrong corpus"
+                )
+            return read_stage(spark, ckpt_dir, name)
+        run_stage_checkpointed(
+            spark,
+            build(),
+            ckpt_dir,
+            name,
+            bucket_col="doc_id",
+            n_buckets=n_ckpt_buckets,
+            input_fingerprint=fp,
+        )
+        spark.createDataFrame(
+            [(name, fp)], "stage string, input_fingerprint string"
+        ).write.mode("append").parquet(done_path)
         return read_stage(spark, ckpt_dir, name)
 
     funnel: dict[str, int] = {"input": int(fpr["n"])}

@@ -359,6 +359,9 @@ def _demo_live(work_dir: str) -> dict:
     feeder = threading.Thread(target=_feed, daemon=True)
     feeder.start()
     feeder.join(timeout=60)
+    # a stalled feeder must be a clear timeout failure, not a
+    # misleading count/oracle divergence later (code-review r5)
+    assert not feeder.is_alive(), "feeder stalled past its 60s budget"
     assert not feeder_err, feeder_err
     # drain whatever the feeder landed, then stop the live queries
     deadline = _time.time() + 120

@@ -333,6 +333,15 @@ def incremental_minhash_dedup(
     established docs (a semi-join prunes the text scan), so verify cost
     is ∝ candidates × shingles-per-doc, never corpus-sized.  Recall
     bound is ``minhash_lsh_pairs``'s: 1-(1-j^rows)^bands per true pair.
+
+    Caching note (same contract as ``minhash_lsh_pairs``): each call
+    ``cache()``s batch-sized intermediates (batch shingles/bands,
+    candidate-doc shingles) that feed multiple consumers in the
+    returned plan; the blocks are LRU-evictable but not auto-released.
+    A long-lived driver loop calling this once per delta should
+    materialize the verdict and then ``spark.catalog.clearCache()`` (or
+    unpersist) between rounds, or executor storage grows by the cached
+    set per round.
     """
     assert num_hashes % bands == 0
     sh_b = shingle_table(batch, id_col, text_col, n).cache()

@@ -424,16 +424,20 @@ def cluster_assign(
     :func:`kmeans_centroids`, whose argmax this mirrors exactly (same
     similarity, same ``(c_sim DESC, list_id)`` tie-break).
 
-    Scale: the codebook broadcasts (n_lists × dim doubles), the corpus
-    streams through projection + a per-id argmax window — partitioned
-    by the VECTOR id, so each task ranks only its own n_lists rows;
-    there is no corpus-keyed shuffle and no global window."""
+    Scale: the codebook broadcasts (n_lists × dim doubles) and the
+    argmax is a ``max(struct(c_sim, -list_id))`` AGGREGATION, not a
+    row_number window (code-review r5): all n_lists scored rows of a
+    vector sit in its own input partition, so the map-side partial
+    aggregation completes the argmax before the exchange and the
+    shuffle moves exactly one reduced row per vector — a window would
+    shuffle and sort the full corpus × n_lists expansion.  The struct
+    max is the window's tie-break verbatim: highest c_sim first, then
+    highest ``-list_id`` = SMALLEST list id."""
     v = vectors.select(
         F.col(id_col).alias("_cid"),
         _as_double_array(vec_col).alias("vv"),
     )
-    w = Window.partitionBy("_cid").orderBy(F.desc("c_sim"), "list_id")
-    return (
+    best = (
         v.crossJoin(F.broadcast(centroids.select("list_id", "cv")))
         .select(
             "_cid",
@@ -443,9 +447,20 @@ def cluster_assign(
                 / (_norm(F.col("vv")) * _norm(F.col("cv")))
             ).alias("c_sim"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col("_cid").alias(id_col), "list_id", "c_sim")
+        .groupBy("_cid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c_sim"),
+                    (-F.col("list_id")).alias("_neg_list"),
+                )
+            ).alias("_best")
+        )
+    )
+    return best.select(
+        F.col("_cid").alias(id_col),
+        (-F.col("_best._neg_list")).alias("list_id"),
+        F.col("_best.c_sim").alias("c_sim"),
     )
 
 

@@ -58,6 +58,17 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def delete_recursive(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FS API — ``shutil.rmtree``
+    silently no-ops on hdfs:// / s3a:// URIs, so callers that reset a
+    checkpoint dir (e.g. a fresh non-resume curation run) must use this
+    instead (code-review r5).  Returns True if anything was deleted."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
+
+
 def with_bucket(
     df: DataFrame, bucket_col: str = "conv_id", n_buckets: int = 32
 ) -> DataFrame:

@@ -61,12 +61,16 @@ def test_decontaminate_flags_overlap_and_keeps_clean_docs(spark):
     assert out[5].contaminated == 0
 
 
-def test_decontaminate_plan_broadcasts_bench_no_cartesian(spark):
+def test_decontaminate_plan_no_cartesian(spark):
+    # r5: the gram join is UNHINTED (no static BroadcastExchange
+    # assertion any more — AQE picks broadcast vs shuffle at runtime;
+    # test_decontaminate_join_is_unhinted_aqe_decides pins both
+    # choices).  The invariant that must hold in ANY plan: the join is
+    # an equi-join on the gram key, never a cartesian.
     bench = _docs(spark, [(100, SENT)])
     train = _docs(spark, [(1, SENT), (2, "x y z")])
     plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan  # bench gram set is broadcast
 
 
 def _expected_bucket(doc_id: int, salt: str = "strat") -> int:

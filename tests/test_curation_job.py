@@ -62,8 +62,13 @@ def test_curation_kill_and_resume_skips_finished_stages(
     monkeypatch.setattr(cur_mod, "redact_pii", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
         curate(spark, docs, out_crash, budget=100, n_shards=4)
-    state = json.load(open(f"{out_crash}/stage_state.json"))
-    assert state["stages"] == ["cleaned", "gated"]
+    done = {
+        r.stage
+        for r in spark.read.parquet(
+            f"{out_crash}/stages/_stages_done"
+        ).collect()
+    }
+    assert done == {"cleaned", "gated"}
 
     # resume: stages 1-2 are read back, never recomputed — poison their
     # operators so any recompute fails loudly
@@ -91,6 +96,18 @@ def test_curation_kill_and_resume_skips_finished_stages(
     assert resumed["funnel"] == fresh["funnel"]
     assert resumed["splits"] == fresh["splits"]
     assert resumed["total_tokens"] == fresh["total_tokens"]
+
+    # resuming a DIFFERENT corpus — even one with identical row count
+    # and total text length — must be refused, not silently mixed
+    # (code-review r5: the completion markers carry a content-hashed
+    # fingerprint)
+    other = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "harbor", "harbur").alias("text"),
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        curate(spark, other, out_crash, budget=100, n_shards=4,
+               resume=True)
     # the manifest carries per-bucket lineage for every stage
     m = spark.read.parquet(f"{out_crash}/stages/_manifest")
     stages_in_manifest = {

@@ -350,22 +350,10 @@ def kmeans_centroids(
             F.col("neighbor_id").alias("list_id"), F.col("vv").alias("cv")
         )
     )
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("c_sim"), "list_id"
-    )
     for _ in range(iters):
-        assigned = (
-            v.crossJoin(F.broadcast(cents))
-            .select(
-                "neighbor_id", "vv", "list_id",
-                (
-                    _dot(F.col("vv"), F.col("cv"))
-                    / (_norm(F.col("vv")) * _norm(F.col("cv")))
-                ).alias("c_sim"),
-            )
-            .withColumn("rn", F.row_number().over(assign_w))
-            .where(F.col("rn") == 1)
-        )
+        # argmax via map-side-combined aggregation, not a corpus-keyed
+        # row_number window (r5 — see _argmax_assign)
+        assigned = _argmax_assign(v, cents, "neighbor_id")
         comp = (
             assigned.select(
                 "list_id",
@@ -408,6 +396,47 @@ def kmeans_centroids(
             )
         )
     return cents
+
+
+def _argmax_assign(
+    points: DataFrame, cents: DataFrame, id_name: str
+) -> DataFrame:
+    """Nearest-centroid assignment ``(id, vv, list_id)`` as ONE
+    map-side-combined ``max(struct)`` aggregation (r5): every scored
+    row of a point sits in its own input partition after the broadcast
+    cross join, so the partial aggregation completes the argmax before
+    the exchange and the shuffle moves exactly one reduced row per
+    point — a ``row_number`` window here would shuffle AND sort the
+    full corpus × n_lists expansion (the 100 TB scale-killer class).
+
+    Tie-break is the historical window's verbatim: highest ``c_sim``,
+    then highest ``-list_id`` = SMALLEST (numeric) list id.  ``vv``
+    rides as a trailing struct field the comparison never reaches,
+    because ``(c_sim, -list_id)`` is already a total order (list ids
+    are unique).  NaN ``c_sim`` (zero-norm vector) wins the max — the
+    same placement as the window's ``DESC`` ordering and the DuckDB
+    oracle's, so cross-engine parity holds even on pathological
+    inputs."""
+    scored = points.crossJoin(F.broadcast(cents)).select(
+        F.col(id_name),
+        F.struct(
+            (
+                _dot(F.col("vv"), F.col("cv"))
+                / (_norm(F.col("vv")) * _norm(F.col("cv")))
+            ).alias("c_sim"),
+            (-F.col("list_id")).alias("_neg_list"),
+            F.col("vv").alias("vv"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy(id_name)
+        .agg(F.max("_s").alias("_b"))
+        .select(
+            F.col(id_name),
+            F.col("_b.vv").alias("vv"),
+            (-F.col("_b._neg_list")).alias("list_id"),
+        )
+    )
 
 
 def cluster_assign(
@@ -508,19 +537,12 @@ def ivf_topk(
     def _sim(a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 
-    # corpus → nearest centroid
-    assign_w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("c_sim"), "list_id"
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id", "vv", "list_id",
-            _sim(F.col("vv"), F.col("cv")).alias("c_sim"),
-        )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "vv", "list_id")
+    # corpus → nearest centroid: map-side-combined aggregation argmax,
+    # not a corpus-keyed row_number window (r5 — see _argmax_assign).
+    # The QUERY probes below keep their window: queries are the small
+    # broadcast side and n_probe > 1 needs a real top-n rank.
+    assigned = _argmax_assign(v, cents, "neighbor_id").select(
+        "neighbor_id", "vv", "list_id"
     )
     # queries → n_probe nearest centroids
     q = queries.select(

@@ -70,6 +70,8 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "cluster_assign",
     "opcode_summary",
+    # r5 session 2: exact-substring span dedup (Lee et al. 2022)
+    "dedup_substring",
 ]
 
 

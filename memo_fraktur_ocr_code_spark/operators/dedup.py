@@ -1001,3 +1001,139 @@ def embedding_cosine_dups(
     return scored.where(F.col("cosine") >= threshold).orderBy(
         "id_a", "id_b"
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact-substring duplication stats per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the RefinedWeb/SlimPajama recipe): hash every
+    window of ``span_len`` consecutive tokens, find windows that occur
+    more than once anywhere in the corpus, and report how much of each
+    document is covered by non-canonical repeats.
+
+    Returns one row per input document (keep-everything contract — docs
+    with NULL/empty text or fewer than ``span_len`` tokens report zeros):
+
+    ``(doc_id, n_tokens, n_dup_spans, dup_tokens, dup_bp)``
+
+    * ``n_dup_spans`` — windows of this doc that duplicate an earlier
+      occurrence (canonical = lexicographically smallest ``(id, pos)``
+      over the whole corpus, so exactly one occurrence per distinct
+      window is *not* counted).
+    * ``dup_tokens``  — tokens covered by the union of those windows
+      (overlapping windows merge; a verbatim-repeated paragraph counts
+      its length once, not once per window).
+    * ``dup_bp``      — duplicated-token fraction in integer basis
+      points, ``(10000 * dup_tokens) div n_tokens``.
+
+    Consumers threshold ``dup_bp`` to drop or trim documents, matching
+    the reference pipeline's discard-filter role (F1) applied to
+    training-data curation.
+
+    Scale design (100 TB): the paper's suffix array is replaced by the
+    Spark-native window-hash sketch — only ``(span_key, id, pos)``
+    triples ever shuffle (text stays in the scan), the global argmin per
+    window is ONE map-side-combined hash aggregation (no corpus-wide
+    sort window), and the duplicated-window table that joins back is
+    the occ>1 slice only — tiny under Zipf, so AQE broadcasts it when
+    it fits (deliberately unhinted, same policy as strip_boilerplate:
+    boilerplate-heavy corpora make it unbounded).  A repeated window is
+    a 1:N join against a single reduced row — fan-out is linear in true
+    occurrences, never quadratic.  ``stride > 1`` trades detection of
+    runs shorter than ``span_len + stride - 1`` tokens for a
+    proportionally smaller span table (the standard production knob).
+    Interval union per doc folds a sorted position list — bounded by
+    tokens-per-doc, never corpus-sized.
+    """
+    k = int(span_len)
+    assert k >= 2 and stride >= 1
+    norm = normalize_text_col(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("n_tokens"),
+        F.split(norm, " ").alias("_toks"),
+    )
+    # 1-based window start positions; sequence() guarded (it DESCENDS on
+    # an empty range) by the n_tokens >= k filter.
+    sp = (
+        base.where(F.col("n_tokens") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.expr(f"sequence(1, n_tokens - {k} + 1, {stride})")
+            ).alias("pos"),
+            "_toks",
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(
+                F.concat_ws(" ", F.expr(f"slice(_toks, pos, {k})"))
+            ).alias("span_key"),
+        )
+    )
+    dup_keys = (
+        sp.groupBy("span_key")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .where(F.col("occ") > 1)
+        .select("span_key", "canon")
+    )
+    repeats = sp.join(dup_keys, "span_key").where(
+        ~(
+            (F.col("id") == F.col("canon.id"))
+            & (F.col("pos") == F.col("canon.pos"))
+        )
+    )
+    per_doc = (
+        repeats.groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sort_array(F.collect_list("pos")).alias("_p"),
+        )
+        .select(
+            "id",
+            "n_dup_spans",
+            # interval union of equal-length windows over sorted starts:
+            # k for the last + min(k, gap) per consecutive pair
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.expr("slice(_p, 1, size(_p) - 1)"),
+                        F.expr("slice(_p, 2, size(_p) - 1)"),
+                        lambda a, b: F.least(F.lit(k), b - a),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                + k
+            ).alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.when(F.col("n_tokens") > 0, F.expr(
+                "(10000 * coalesce(dup_tokens, 0)) div n_tokens"
+            )).otherwise(F.lit(0)).cast("long").alias("dup_bp"),
+        )
+    )

@@ -1022,3 +1022,68 @@ def test_band_index_candidate_join_is_shuffle_free_over_buckets(
     finally:
         spark.sql("DROP TABLE IF EXISTS t_band_idx")
         spark.sql("DROP TABLE IF EXISTS t_band_batch")
+
+
+def test_substring_span_stats_edges(spark):
+    """Constructed corpus pinning every substring_span_stats contract:
+    overlapping windows merge (repeated 6-token run with span_len=4 →
+    3 windows, 6 covered tokens), the canonical occurrence is exempt,
+    internal same-doc repetition counts, and NULL/short docs survive
+    with zeros (keep-everything)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        substring_span_stats,
+    )
+
+    para = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, "intro one two three " + para),          # canonical owner
+        (2, "other words entirely " + para),          # 3 dup windows
+        (3, para + " tail " + para),                  # 2nd copy internal dup
+        (4, "too short"),                             # < span_len tokens
+        (5, None),                                    # NULL text
+        (6, ""),                                      # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in substring_span_stats(df, span_len=4).collect()
+    }
+    assert len(out) == 6
+    # doc 1 holds the lexicographically smallest occurrence: 0 dups
+    assert out[1]["n_dup_spans"] == 0 and out[1]["dup_tokens"] == 0
+    # doc 2: windows at 3 consecutive starts merge to the 6-token run
+    assert out[2]["n_dup_spans"] == 3
+    assert out[2]["dup_tokens"] == 6
+    assert out[2]["dup_bp"] == (10000 * 6) // out[2]["n_tokens"]
+    # doc 3: its FIRST para copy also duplicates doc 1's canonical, and
+    # the second copy duplicates again — 6 dup windows, two merged runs
+    assert out[3]["n_dup_spans"] == 6
+    assert out[3]["dup_tokens"] == 12
+    # degenerate docs: present, all-zero
+    for d in (4, 5, 6):
+        assert out[d]["n_dup_spans"] == 0
+        assert out[d]["dup_tokens"] == 0
+        assert out[d]["dup_bp"] == 0
+    assert out[5]["n_tokens"] == 0 and out[6]["n_tokens"] == 0
+
+
+def test_substring_span_stats_stride(spark):
+    """stride=span_len gives disjoint windows: a doc that fully repeats
+    another is still fully covered, and the span table shrinks by the
+    stride factor (scale knob)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        substring_span_stats,
+    )
+
+    text = "a b c d e f g h"  # 8 tokens, two disjoint 4-windows
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in substring_span_stats(df, span_len=4, stride=4).collect()
+    }
+    assert out[1]["n_dup_spans"] == 0
+    assert out[2]["n_dup_spans"] == 2
+    assert out[2]["dup_tokens"] == 8
+    assert out[2]["dup_bp"] == 10000

@@ -3041,6 +3041,123 @@ FROM m ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# product quantization (r5 — Jégou et al. 2011, the FAISS IVF-PQ
+# representation): per-subspace codebooks, compact codes, ADC top-k
+
+
+def _q_pq_adc_topk(spark, sf_dir):
+    """End-to-end PQ (operators/pq.py): train 4 subspace codebooks on
+    the corpus (vec_id ≥ 10, two exact-fixed-point Lloyd rounds),
+    encode every corpus vector to 4 codes, then ADC top-5 for the 10
+    query vectors — distances in integer micro-units so the
+    cross-subspace sum is associative-exact.  The oracle re-derives
+    training, encoding and search from first principles in SQL."""
+    from memo_fraktur_ocr_code_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    cb = pq.pq_train(corpus, dim=64, m=4, ks=4, iters=2)
+    codes = pq.pq_encode(corpus, cb, dim=64, m=4)
+    return pq.pq_adc_topk(queries, cb, codes, dim=64, m=4, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_pq_l2(a: str, b: str, d: int) -> str:
+    """Squared-L2 twin of pq._l2sq: identical float64 op sequence
+    (per-component squared diff, left-fold sum in index order)."""
+    return (
+        f"list_reduce(list_transform(range(1, {d + 1}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_adc_topk(
+    dim: int = 64, m: int = 4, ks: int = 4, iters: int = 2, k: int = 5
+) -> str:
+    """Unrolled PQ oracle: cb0 = subvectors of the ks smallest corpus
+    ids (codes = seed ids, mirroring pq_train's init), per-round
+    argmin assignment (ORDER BY dist ASC, code ASC — the twin of
+    max(struct(-dist, -code))) + the shared exact-integer-mean recipe,
+    then encode, micro-unit LUT, associative BIGINT ADC sums and a
+    per-query rank."""
+    ds = dim // m
+    cte = ""
+    prev = "cb0"
+    for it in range(1, iters + 1):
+        cte += f""",
+a{it} AS (
+  SELECT id, sub, sv, code FROM (
+    SELECT subs.id, subs.sub, subs.sv, c.code,
+           row_number() OVER (PARTITION BY subs.id, subs.sub
+                              ORDER BY {_sql_pq_l2('subs.sv', 'c.cv', ds)}
+                                       ASC, c.code ASC) AS rn
+    FROM subs JOIN {prev} AS c USING (sub)) t
+  WHERE rn = 1),
+s{it} AS (
+  SELECT sub, code, CAST(dd.d AS INTEGER) AS d, count(*) AS n,
+         sum(CAST(floor(sv[dd.d] * 1000000) AS BIGINT)) AS sm
+  FROM a{it}, UNNEST(range(1, {ds + 1})) AS dd(d)
+  GROUP BY sub, code, dd.d),
+m{it} AS (
+  SELECT sub, code,
+         list(((sm - ((sm % n) + n) % n) // n) / 1000000.0 ORDER BY d)
+           AS new_cv
+  FROM s{it} GROUP BY sub, code),
+cb{it} AS (
+  SELECT p.sub, p.code, COALESCE(m{it}.new_cv, p.cv) AS cv
+  FROM {prev} AS p LEFT JOIN m{it} USING (sub, code))"""
+        prev = f"cb{it}"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE vec_id >= 10),
+q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE vec_id < 10),
+subs AS (
+  SELECT id, CAST(s.sub AS INTEGER) AS sub,
+         vv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+  FROM v, UNNEST(range(0, {m})) AS s(sub)),
+cb0 AS (
+  SELECT sub, id AS code, sv AS cv FROM subs
+  WHERE id IN (SELECT id FROM v ORDER BY id LIMIT {ks})){cte},
+enc AS (
+  SELECT id, sub, code FROM (
+    SELECT subs.id, subs.sub, c.code,
+           row_number() OVER (PARTITION BY subs.id, subs.sub
+                              ORDER BY {_sql_pq_l2('subs.sv', 'c.cv', ds)}
+                                       ASC, c.code ASC) AS rn
+    FROM subs JOIN {prev} AS c USING (sub)) t
+  WHERE rn = 1),
+qsubs AS (
+  SELECT qid, CAST(s.sub AS INTEGER) AS sub,
+         vv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+  FROM q, UNNEST(range(0, {m})) AS s(sub)),
+lut AS (
+  SELECT qid, sub, code,
+         CAST(floor({_sql_pq_l2('qsubs.sv', 'c.cv', ds)} * 1000000)
+              AS BIGINT) AS pd_u
+  FROM qsubs JOIN {prev} AS c USING (sub)),
+dist AS (
+  SELECT qid, id, CAST(sum(pd_u) AS BIGINT) AS dist_u
+  FROM enc JOIN lut USING (sub, code)
+  GROUP BY qid, id)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+       id AS neighbor_id, dist_u
+FROM (SELECT qid, id, dist_u,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist_u, id) AS rank
+      FROM dist) t
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact-substring span dedup (r5 — Lee et al. 2022, arXiv:2107.06499)
 
 # 20-token paragraph planted on every 7th document: its 13 overlapping
@@ -3284,6 +3401,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: exact-substring span dedup (Lee et al. 2022) —
         # window-hash sketch with planted overlapping-window paragraph
         "dedup_substring": _q_dedup_substring,
+        # r5 session 2: product quantization end-to-end (train 4
+        # subspace codebooks, encode, ADC top-k in integer micro-units)
+        "pq_adc_topk": _q_pq_adc_topk,
     }
 
 
@@ -3361,4 +3481,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_dedup": _SQL_INCREMENTAL_MINHASH,
         "cluster_assign": _sql_cluster_assign(),
         "dedup_substring": _SQL_SUBSTRING_SPANS,
+        "pq_adc_topk": _sql_pq_adc_topk(),
     }

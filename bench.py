@@ -70,8 +70,10 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "cluster_assign",
     "opcode_summary",
-    # r5 session 2: exact-substring span dedup (Lee et al. 2022)
+    # r5 session 2: exact-substring span dedup (Lee et al. 2022) +
+    # product-quantization ADC search (Jégou et al. 2011)
     "dedup_substring",
+    "pq_adc_topk",
 ]
 
 

@@ -1,0 +1,278 @@
+"""Product quantization (PQ) for embedding columns — Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search" (TPAMI), the standard
+compressed-domain ANN representation (IVF-PQ is the FAISS default at
+billion scale).
+
+The vector space splits into ``m`` contiguous subspaces of ``dim/m``
+components; each subspace gets its own tiny codebook (``ks`` centroids,
+trained by the same deterministic exact-fixed-point Lloyd used by
+``similarity.kmeans_centroids``); a vector is stored as ``m`` small
+codes.  At ``dim=64`` float32 → ``m=4`` byte-ish codes that is a ~64×
+memory cut — the difference between spilling a 100 TB embedding corpus
+and holding its coded form in executor memory for full-scan ADC.
+
+Search uses asymmetric distance computation (ADC): the query stays
+uncompressed, a per-query lookup table of query-subvector ↔ centroid
+distances is built against the ``m × ks`` codebook (tiny, broadcast),
+and each corpus vector's distance is the sum of ``m`` table entries —
+no original vectors are ever read at query time.
+
+Engine-portable determinism (the repo-wide oracle contract):
+
+* centroid training reuses the floor-quantize → associative integer
+  sum → explicit integer floor-division recipe (components come out
+  exact multiples of 1e-6 on both engines);
+* per-subspace squared-L2 is a left fold in component order — the
+  DuckDB twin (``list_reduce`` over ``list_transform``) performs the
+  identical float64 op sequence;
+* ADC partial distances are floor-quantized to integer micro-units
+  BEFORE summing (``dist_u``), so the cross-code sum is associative and
+  immune to aggregation order — a raw double sum over shuffled rows
+  would be nondeterministic run-to-run, let alone cross-engine.
+
+Scale shape: training and encoding are broadcast cross joins against a
+``m × ks`` codebook folded by ONE map-side-combined ``max(struct)``
+argmin per ``(vector, subspace)`` (see ``similarity._argmax_assign`` —
+no corpus-keyed window anywhere); ADC is a broadcast LUT join + an
+integer sum keyed ``(query, vector)``; the final top-k is a two-phase
+per-partition/global aggregation, never a corpus-sized sort window.
+
+Reference parity note: the reference engine has no ANN operator — this
+extends the training-data-pipeline surface mandated by the graft brief
+(similarity search over the ``embeddings`` table), sibling to
+``similarity.ivf_topk``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.operators.similarity import (
+    _as_double_array,
+)
+
+_Q = 1_000_000
+
+
+def _l2sq(a, b) -> F.Column:
+    """Squared L2 distance as a component-order left fold — the exact
+    op-sequence twin of the oracle's ``list_reduce(list_transform(...))``
+    (leading ``0.0 +`` is a float no-op, so the folds agree bit for
+    bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(v: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """(id, vv) → long form (id, sub, sv): contiguous subvector per
+    subspace, generated JVM-side."""
+    return v.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> struct(s AS sub,"
+                f" slice(vv, s * {d_sub} + 1, {d_sub}) AS sv))"
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+
+def _assign_codes(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (id, sub): broadcast the ``m × ks``
+    codebook, score every (subvector, centroid) pair, and fold the
+    argmin with ONE map-side-combined ``max(struct)`` aggregation —
+    the partial aggregation finishes the argmin before the exchange,
+    so exactly one reduced row per (vector, subspace) shuffles.
+
+    Tie-break: lowest distance, then lowest code (``max`` of
+    ``(-dist, -code)``) — mirrored by the oracle's
+    ``ORDER BY dist ASC, code ASC`` row_number."""
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "id",
+        "sub",
+        F.struct(
+            (-_l2sq(F.col("sv"), F.col("cv"))).alias("nd"),
+            (-F.col("code")).alias("nc"),
+            F.col("sv").alias("sv"),
+        ).alias("_s"),
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(F.max("_s").alias("_b"))
+        .select(
+            "id",
+            "sub",
+            (-F.col("_b.nc")).alias("code"),
+            F.col("_b.sv").alias("sv"),
+        )
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    ks: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks → ``(sub, code, cv)``.
+
+    Init mirrors ``kmeans_centroids``: the ``ks`` smallest-id vectors
+    seed every subspace (their ids double as stable code labels — PQ
+    codes are labels, not required to be dense 0..ks-1; a production
+    writer would dictionary-encode them to ⌈log2 ks⌉ bits at sink
+    time).  Each Lloyd round = one broadcast argmin assignment + one
+    aggregation keyed ``(sub, code, component)`` over floor-quantized
+    components (exact integer means, empty codes keep their previous
+    centroid)."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    d_sub = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("vv")
+    )
+    subs = _subvectors(v, m, d_sub)
+    codebook = _subvectors(v.orderBy("id").limit(ks), m, d_sub).select(
+        "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_codes(subs, codebook)
+        comp = (
+            assigned.select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.expr(
+                        "transform(sv,"
+                        f" x -> CAST(floor(x * {_Q}) AS BIGINT))"
+                    )
+                ).alias("d", "qv"),
+            )
+            .groupBy("sub", "code", "d")
+            .agg(F.count("*").alias("n"), F.sum("qv").alias("s"))
+            # pure-integer floor division (see kmeans_centroids: DIV
+            # truncates, but s - pmod(s, n) is an exact multiple of n)
+            .select(
+                "sub",
+                "code",
+                "d",
+                (
+                    F.expr("(s - ((s % n) + n) % n) DIV n")
+                    / F.lit(float(_Q))
+                ).alias("mv"),
+            )
+        )
+        trained = comp.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                lambda st: st["mv"],
+            ).alias("new_cv")
+        )
+        codebook = codebook.join(trained, ["sub", "code"], "left").select(
+            "sub", "code", F.coalesce("new_cv", "cv").alias("cv")
+        )
+    return codebook
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress vectors → long-form codes ``(id, sub, code)`` — the
+    compact representation ADC searches over (and the layout a
+    columnar sink stores: ``m`` small ints per vector, original floats
+    dropped)."""
+    assert dim % m == 0
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("vv")
+    )
+    return _assign_codes(_subvectors(v, m, dim // m), codebook).select(
+        "id", "sub", "code"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes →
+    ``(query_id, rank, neighbor_id, dist_u)``.
+
+    ``dist_u`` is the ADC distance in integer micro-units: each of the
+    ``m`` query↔centroid partial distances is floor-quantized BEFORE
+    the cross-subspace sum, so the aggregation is associative-exact
+    (shuffle order can't change it) and the value is engine-portable.
+
+    Plan: LUT = queries × codebook (both tiny → broadcast); codes join
+    LUT on ``(sub, code)`` (1:q fan-out, linear); integer sum keyed
+    ``(query, vector)`` with map-side partial aggregation; then
+    TWO-PHASE top-k — per-input-partition ``array_sort(collect_list)``
+    slice, re-grouped once per query over ≤ partitions × k survivors —
+    because a ``row_number`` window partitioned by query would sort the
+    ENTIRE corpus inside each query's partition (the 100 TB
+    scale-killer this repo's plan guards exist to catch).  Ties break
+    on ``(dist_u, neighbor_id)`` — a total order, so the result is
+    partitioning-independent."""
+    assert dim % m == 0
+    d_sub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double_array(vec_col).alias("vv")
+    )
+    lut = (
+        _subvectors(q.withColumnRenamed("qid", "id"), m, d_sub)
+        .withColumnRenamed("id", "qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.floor(_l2sq(F.col("sv"), F.col("cv")) * _Q)
+            .cast("long")
+            .alias("pd_u"),
+        )
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("pd_u").alias("dist_u"))
+    )
+    part_top = (
+        dist.withColumn("pt", F.spark_partition_id())
+        .groupBy("qid", "pt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist_u", "id"))),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("qid", F.explode("top").alias("t"))
+    )
+    final = part_top.groupBy("qid").agg(
+        F.slice(F.array_sort(F.collect_list("t")), 1, k).alias("top")
+    )
+    return final.select(
+        F.col("qid").alias("query_id"),
+        F.posexplode("top").alias("r", "t"),
+    ).select(
+        "query_id",
+        (F.col("r") + 1).cast("long").alias("rank"),
+        F.col("t.id").alias("neighbor_id"),
+        F.col("t.dist_u").alias("dist_u"),
+    )

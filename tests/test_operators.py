@@ -1087,3 +1087,50 @@ def test_substring_span_stats_stride(spark):
     assert out[2]["n_dup_spans"] == 2
     assert out[2]["dup_tokens"] == 8
     assert out[2]["dup_bp"] == 10000
+
+
+def test_pq_train_encode_adc(spark):
+    """PQ on a corpus of ks exact prototypes (components are multiples
+    of 1/8 — exact in binary AND under 1e-6 floor quantization):
+    training must converge each subspace codebook onto the prototype
+    subvectors, every copy must encode to its prototype's codes, and an
+    ADC query equal to a prototype must return its copies at integer
+    distance 0 ahead of everything else."""
+    from memo_fraktur_ocr_code_spark.operators import pq
+
+    dim, m = 8, 2
+    protos = {
+        10: [0.0] * 4 + [1.0] * 4,
+        11: [0.5] * 4 + [0.25] * 4,
+        12: [1.0] * 4 + [0.0] * 4,
+        13: [0.25] * 4 + [0.75] * 4,
+    }
+    rows = [(vid, vec) for vid, vec in protos.items()]
+    # three extra exact copies of prototype 11 under new ids
+    rows += [(20 + i, protos[11]) for i in range(3)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cb = pq.pq_train(corpus, dim=dim, m=m, ks=4, iters=2)
+    cb_rows = {(r["sub"], r["code"]): r["cv"] for r in cb.collect()}
+    assert len(cb_rows) == 8  # m * ks
+    # seeds are the 4 smallest ids = the prototypes themselves; means of
+    # identical members reproduce them exactly
+    for vid, vec in protos.items():
+        assert cb_rows[(0, vid)] == vec[:4]
+        assert cb_rows[(1, vid)] == vec[4:]
+    codes = pq.pq_encode(corpus, cb, dim=dim, m=m)
+    by_id = {
+        (r["id"], r["sub"]): r["code"] for r in codes.collect()
+    }
+    for i in range(3):  # every copy carries prototype 11's codes
+        assert by_id[(20 + i, 0)] == by_id[(11, 0)]
+        assert by_id[(20 + i, 1)] == by_id[(11, 1)]
+    queries = spark.createDataFrame(
+        [(1, protos[11])], "vec_id long, embedding array<double>"
+    )
+    top = pq.pq_adc_topk(
+        queries, cb, codes, dim=dim, m=m, k=4
+    ).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in top] == [11, 20, 21, 22]
+    assert all(r["dist_u"] == 0 for r in top)

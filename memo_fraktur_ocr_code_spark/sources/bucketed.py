@@ -28,7 +28,10 @@ of the pipeline output against the unbucketed path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 #: In-bucket sort — the pipeline's stable turn order (turn_idx, ts) per
@@ -84,3 +87,135 @@ def conv_rollup(spark: SparkSession, table: str) -> DataFrame:
             F.sum(F.length("text")).alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: small-file inspection + compaction (r5)
+
+#: Spark bucket-file naming: part-<task>-<uuid>_<bucket>.c<n>.<codec>.parquet
+_BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+
+
+def bucket_file_stats(spark: SparkSession, table: str) -> dict:
+    """Physical-layout report for a bucketed table:
+    ``{location, n_buckets, n_files, max_files_per_bucket,
+    files_per_bucket, total_bytes}``.
+
+    File listing goes through the Hadoop FS API (NOT ``os.listdir`` —
+    silently empty on hdfs:// / s3a:// locations), so the same code
+    inspects a cloud warehouse.  This is the signal a maintenance
+    scheduler thresholds on: steady micro-batch ingest into a bucketed
+    table appends one file per (writer task × bucket) per batch, and
+    scan task overhead grows linearly with file count until a
+    compaction folds them back to ~one file per bucket."""
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import _fs_and_path
+
+    meta = {
+        r["col_name"].strip(): (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    location = meta["Location"]
+    n_buckets = int(meta["Num Buckets"])
+    fs, hpath = _fs_and_path(spark, location)
+    per_bucket: dict[int, int] = {}
+    n_files = 0
+    total_bytes = 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        m = _BUCKET_ID_RE.search(name)
+        if not m:
+            continue
+        b = int(m.group(1))
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+        n_files += 1
+        total_bytes += int(st.getLen())
+    return {
+        "location": location,
+        "n_buckets": n_buckets,
+        "n_files": n_files,
+        "max_files_per_bucket": max(per_bucket.values(), default=0),
+        "files_per_bucket": dict(sorted(per_bucket.items())),
+        "total_bytes": total_bytes,
+    }
+
+
+def table_checksum(spark: SparkSession, table: str) -> tuple[int, int]:
+    """(row_count, order-independent content checksum) — ``xxhash64``
+    over every column, folded with ``bit_xor`` (associative/commutative,
+    so partitioning and file layout can't change it; ``sum`` would
+    overflow under ANSI).  The equality witness for
+    rewrite-preserves-content."""
+    df = spark.table(table)
+    row = (
+        df.select(F.xxhash64(*df.columns).alias("_h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(_h)").alias("x"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["x"] if row["x"] is not None else 0)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    dst_path: str,
+    parallelism: int = 1,
+    sort_cols: tuple[str, ...] = DEFAULT_SORT,
+    verify: bool = True,
+) -> dict:
+    """Rewrite a fragmented bucketed table into ``dst_table`` with at
+    most ``parallelism`` files per bucket — the small-file compaction a
+    long-lived ingest table needs (Iceberg's ``rewrite_data_files``,
+    re-expressed for the session-catalog bucket stand-in).
+
+    Mechanism: ``coalesce(parallelism)`` before the bucketed re-write.
+    ``coalesce`` is a NARROW merge of scan partitions — the rewrite
+    moves every byte exactly once, scan → sort → files, with ZERO
+    shuffle.  (Spark 4's planned-write machinery silently ERASES a
+    user ``repartition`` ahead of a V1 bucketed write — empirically
+    verified here: the InsertIntoHadoopFsRelationCommand plan shows
+    Scan → Sort → WriteFiles with the Exchange gone — so aligning
+    writer tasks with bucket ids via repartition is NOT available; the
+    writer instead splits each task's rows by bucket id, giving
+    ``tasks × buckets-touched`` files.  Bounding tasks with coalesce
+    is the control that DOES survive the planner.)
+
+    ``parallelism=1`` guarantees exactly one file per bucket (single
+    writer task).  At 100 TB granularity, run one compaction per
+    time-partition slice (or bucket range) with ``parallelism`` sized
+    to executor count — files-per-bucket stays ≤ parallelism and the
+    slices compact concurrently.
+
+    ``verify=True`` compares (row count, order-independent xxhash64
+    bit_xor checksum) of source and destination before returning —
+    the rewrite refuses to report success on content drift.  The
+    src→dst swap is left to the caller: the parquet stand-in has no
+    atomic snapshot flip (THE Iceberg capability this module
+    documents as environment-limited), so the honest contract is
+    compact-into-new then re-point readers.
+    """
+    before = bucket_file_stats(spark, src_table)
+    src = spark.table(src_table).coalesce(max(1, int(parallelism)))
+    w = (
+        src.write.format("parquet")
+        .mode("errorifexists")
+        .bucketBy(before["n_buckets"], "conv_id")
+        .sortBy(*sort_cols)
+        .option("path", dst_path)
+    )
+    w.saveAsTable(dst_table)
+    after = bucket_file_stats(spark, dst_table)
+    out = {"before": before, "after": after}
+    if verify:
+        n_src, x_src = table_checksum(spark, src_table)
+        n_dst, x_dst = table_checksum(spark, dst_table)
+        if (n_src, x_src) != (n_dst, x_dst):
+            raise RuntimeError(
+                f"compaction content drift: src ({n_src}, {x_src:x})"
+                f" != dst ({n_dst}, {x_dst:x})"
+            )
+        out["verified"] = {"rows": n_src, "checksum": x_src}
+    return out

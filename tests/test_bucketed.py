@@ -147,3 +147,90 @@ def test_job_cli_bucketed_input(spark, bucketed, tmp_path):
             .select("conv_id", "turn_idx", "corrected_text").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_compaction_folds_files_and_preserves_content(
+    spark, bucketed, tmp_path
+):
+    """Small-file maintenance: a fragmented ingest (16 writer tasks ×
+    4 buckets) compacts to exactly one file per bucket at
+    parallelism=1, preserving row count, content checksum, and the
+    bucket spec (post-compaction rollup still shuffle-free)."""
+    from memo_fraktur_ocr_code_spark.sources.bucketed import (
+        bucket_file_stats,
+        compact_bucketed,
+        table_checksum,
+    )
+
+    frag_t, comp_t = "test_compact_frag", "test_compact_out"
+    try:
+        write_bucketed(
+            bucketed["base"].repartition(16),
+            frag_t,
+            n_buckets=4,
+            path=str(tmp_path / "frag"),
+        )
+        before = bucket_file_stats(spark, frag_t)
+        assert before["n_buckets"] == 4
+        assert before["max_files_per_bucket"] > 1  # genuinely fragmented
+
+        report = compact_bucketed(
+            spark, frag_t, comp_t, str(tmp_path / "compact"),
+            parallelism=1,
+        )
+        after = report["after"]
+        assert after["n_buckets"] == 4
+        # exactly ONE file per populated bucket (an empty bucket
+        # writes no file), over the same bucket population
+        assert after["max_files_per_bucket"] == 1
+        assert after["n_files"] == len(after["files_per_bucket"])
+        assert set(after["files_per_bucket"]) == set(
+            before["files_per_bucket"]
+        )
+        assert report["verified"]["rows"] == bucketed["base"].count()
+        assert table_checksum(spark, frag_t) == table_checksum(
+            spark, comp_t
+        )
+        # the compacted table still carries the bucket spec: the
+        # rollup's aggregation plan has no Exchange at all
+        plan = _plan(conv_rollup(spark, comp_t))
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {frag_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {comp_t}")
+
+
+def test_compaction_verify_catches_drift(spark, bucketed, tmp_path):
+    """The content-drift guard really fires: pre-planting a DIFFERENT
+    destination table under the same name and calling the checksum
+    comparison must mismatch (simulating a torn rewrite)."""
+    from memo_fraktur_ocr_code_spark.sources.bucketed import (
+        table_checksum,
+    )
+
+    a_t, b_t = "test_drift_a", "test_drift_b"
+    try:
+        write_bucketed(
+            bucketed["base"], a_t, n_buckets=4,
+            path=str(tmp_path / "a"),
+        )
+        write_bucketed(
+            bucketed["base"].where("turn_idx > 0"), b_t, n_buckets=4,
+            path=str(tmp_path / "b"),
+        )
+        assert table_checksum(spark, a_t) != table_checksum(spark, b_t)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_t}")
+
+
+def test_maintenance_job_demo(spark, tmp_path):
+    """jobs/run_maintenance.py --demo end-to-end: fragmented synthetic
+    ingest folds to one file per bucket with checksum verification."""
+    from jobs.run_maintenance import main
+
+    report = main(["--demo", str(tmp_path / "maint")])
+    assert report["demo"] == "ok"
+    assert report["before"]["max_files_per_bucket"] > 1
+    assert report["after"]["max_files_per_bucket"] == 1
+    assert report["verified"]["rows"] > 0

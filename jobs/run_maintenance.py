@@ -21,9 +21,9 @@ says "skipped") when the table is not fragmented enough to be worth
 rewriting — the shape a cron scheduler wants.
 
 ``--demo`` synthesises a fragmented ingest (16 writer tasks × 8
-buckets) from the sf0.001 transcripts-like fixture, compacts it, and
-asserts one-file-per-populated-bucket + checksum equality, printing
-the before/after layout as one JSON line.
+buckets) from the transcripts-like fixture, compacts it, and asserts
+one-file-per-populated-bucket + checksum equality, printing the
+before/after layout as one JSON line.
 """
 
 from __future__ import annotations
@@ -45,6 +45,42 @@ from memo_fraktur_ocr_code_spark.sources.bucketed import (  # noqa: E402
 )
 
 
+def _demo(spark, work_dir: str) -> dict:
+    from memo_fraktur_ocr_code_spark.sources.fixtures import make_fixture
+
+    base_rows, _, _ = make_fixture(n_convs=40)
+    df = spark.createDataFrame(
+        [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"],
+             r["tool"], r["ts"])
+            for r in base_rows
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    frag_t, comp_t = "maint_demo_frag", "maint_demo_compact"
+    for t in (frag_t, comp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # fragmented ingest: 16 writer tasks, each touching every bucket it
+    # holds rows for
+    write_bucketed(
+        df.repartition(16), frag_t, n_buckets=8,
+        path=os.path.join(work_dir, "frag"),
+    )
+    report = compact_bucketed(
+        spark, frag_t, comp_t,
+        os.path.join(work_dir, "compact"), parallelism=1,
+    )
+    assert report["before"]["max_files_per_bucket"] > 1
+    assert report["after"]["max_files_per_bucket"] == 1
+    assert "verified" in report
+    report["demo"] = "ok"
+    print(json.dumps(report))
+    for t in (frag_t, comp_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return report
+
+
 def main(argv: list[str] | None = None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("src_table", nargs="?")
@@ -59,70 +95,42 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--demo", metavar="WORK_DIR")
     args = ap.parse_args(argv)
 
+    # NOTE: main() never calls spark.stop() — get_spark is getOrCreate,
+    # so an in-process caller (tests, a scheduler embedding the job)
+    # shares the session and stopping it here would kill the caller's
+    # context (code-review r5).  The __main__ guard below stops it.
     spark = get_spark(app_name="bucket-maintenance")
-    try:
-        if args.demo:
-            from memo_fraktur_ocr_code_spark.sources.fixtures import (
-                make_fixture,
-            )
+    if args.demo:
+        return _demo(spark, args.demo)
 
-            base_rows, _, _ = make_fixture(n_convs=40)
-            df = spark.createDataFrame(
-                [
-                    (r["conv_id"], r["turn_idx"], r["role"], r["text"],
-                     r["tool"], r["ts"])
-                    for r in base_rows
-                ],
-                "conv_id string, turn_idx int, role string, text string,"
-                " tool string, ts timestamp",
-            )
-            frag_t, comp_t = "maint_demo_frag", "maint_demo_compact"
-            for t in (frag_t, comp_t):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            # fragmented ingest: 16 writer tasks, each touching every
-            # bucket it holds rows for
-            write_bucketed(
-                df.repartition(16), frag_t, n_buckets=8,
-                path=os.path.join(args.demo, "frag"),
-            )
-            report = compact_bucketed(
-                spark, frag_t, comp_t,
-                os.path.join(args.demo, "compact"), parallelism=1,
-            )
-            assert report["before"]["max_files_per_bucket"] > 1
-            assert report["after"]["max_files_per_bucket"] == 1
-            assert "verified" in report
-            report["demo"] = "ok"
-            print(json.dumps(report))
-            for t in (frag_t, comp_t):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            return report
-
-        if not (args.src_table and args.dst_table and args.dst_path):
-            ap.error("src_table, dst_table and dst_path are required"
-                     " (or use --demo)")
-        before = bucket_file_stats(spark, args.src_table)
-        if (
-            args.threshold_files_per_bucket
-            and before["max_files_per_bucket"]
-            <= args.threshold_files_per_bucket
-        ):
-            report = {"skipped": True, "before": before}
-            print(json.dumps(report))
-            return report
-        report = compact_bucketed(
-            spark,
-            args.src_table,
-            args.dst_table,
-            args.dst_path,
-            parallelism=args.parallelism,
-            verify=not args.no_verify,
+    if not (args.src_table and args.dst_table and args.dst_path):
+        ap.error(
+            "src_table, dst_table and dst_path are required (or --demo)"
         )
+    before = bucket_file_stats(spark, args.src_table)
+    if (
+        args.threshold_files_per_bucket
+        and before["max_files_per_bucket"]
+        <= args.threshold_files_per_bucket
+    ):
+        report = {"skipped": True, "before": before}
         print(json.dumps(report))
         return report
-    finally:
-        spark.stop()
+    report = compact_bucketed(
+        spark,
+        args.src_table,
+        args.dst_table,
+        args.dst_path,
+        parallelism=args.parallelism,
+        verify=not args.no_verify,
+        before=before,
+    )
+    print(json.dumps(report))
+    return report
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        get_spark().stop()

@@ -116,6 +116,8 @@ def bucket_file_stats(spark: SparkSession, table: str) -> dict:
     }
     location = meta["Location"]
     n_buckets = int(meta["Num Buckets"])
+    bucket_cols = re.findall(r"`([^`]+)`", meta.get("Bucket Columns", ""))
+    sort_cols = re.findall(r"`([^`]+)`", meta.get("Sort Columns", ""))
     fs, hpath = _fs_and_path(spark, location)
     per_bucket: dict[int, int] = {}
     n_files = 0
@@ -132,6 +134,8 @@ def bucket_file_stats(spark: SparkSession, table: str) -> dict:
     return {
         "location": location,
         "n_buckets": n_buckets,
+        "bucket_cols": bucket_cols,
+        "sort_cols": sort_cols,
         "n_files": n_files,
         "max_files_per_bucket": max(per_bucket.values(), default=0),
         "files_per_bucket": dict(sorted(per_bucket.items())),
@@ -151,10 +155,19 @@ def table_checksum(spark: SparkSession, table: str) -> tuple[int, int]:
         .agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(_h)").alias("x"),
+            # decimal(38) sum closes bit_xor's even-multiset blind spot
+            # ({A,A,B} vs {C,C,B} XOR-cancel to the same value; their
+            # sums differ) without ANSI bigint overflow — exact to
+            # ~10^18 rows (code-review r5)
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
         )
         .collect()[0]
     )
-    return int(row["n"]), int(row["x"] if row["x"] is not None else 0)
+    return (
+        int(row["n"]),
+        int(row["x"] if row["x"] is not None else 0)
+        ^ (int(row["s"] or 0) % (1 << 64)),
+    )
 
 
 def compact_bucketed(
@@ -163,8 +176,9 @@ def compact_bucketed(
     dst_table: str,
     dst_path: str,
     parallelism: int = 1,
-    sort_cols: tuple[str, ...] = DEFAULT_SORT,
+    sort_cols: tuple[str, ...] | None = None,
     verify: bool = True,
+    before: dict | None = None,
 ) -> dict:
     """Rewrite a fragmented bucketed table into ``dst_table`` with at
     most ``parallelism`` files per bucket — the small-file compaction a
@@ -197,15 +211,23 @@ def compact_bucketed(
     documents as environment-limited), so the honest contract is
     compact-into-new then re-point readers.
     """
-    before = bucket_file_stats(spark, src_table)
+    if before is None:
+        before = bucket_file_stats(spark, src_table)
+    # the rewrite reuses the SOURCE's catalog bucket/sort spec — a
+    # hardcoded key would silently re-bucket a table keyed on another
+    # column and no content checksum would catch it (code-review r5)
+    if not before["bucket_cols"]:
+        raise ValueError(f"{src_table} carries no bucket spec")
+    eff_sort = tuple(sort_cols or before["sort_cols"] or ())
     src = spark.table(src_table).coalesce(max(1, int(parallelism)))
     w = (
         src.write.format("parquet")
         .mode("errorifexists")
-        .bucketBy(before["n_buckets"], "conv_id")
-        .sortBy(*sort_cols)
-        .option("path", dst_path)
+        .bucketBy(before["n_buckets"], *before["bucket_cols"])
     )
+    if eff_sort:
+        w = w.sortBy(*eff_sort)
+    w = w.option("path", dst_path)
     w.saveAsTable(dst_table)
     after = bucket_file_stats(spark, dst_table)
     out = {"before": before, "after": after}

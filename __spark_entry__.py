@@ -3242,6 +3242,251 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# main-content extraction (r5 — the north rule's named extraction tier:
+# HTML boilerplate strip + DOM heuristics, and the PDF/layout-parse
+# reading-order analog).  Both engines synthesise the IDENTICAL page /
+# layout-block input from `documents`, then extract independently.
+
+_HTML_PRE = (
+    '<html><head><title>Document title line</title>'
+    '<style>p{color:red}</style></head><body>'
+    '<nav><a href="/">Home</a> <a href="/arch">Archive pages</a></nav>'
+    '<header><h1>Site banner headline</h1></header>'
+    '<div id="main"><p>'
+)
+_HTML_POST = (
+    '</p><p>Q &amp; A with <b>bold</b> &lt;tags&gt; kept, long enough '
+    'to pass the cut.</p>'
+    '<p><a href="/r">related links</a> <a href="/m">more stories</a> '
+    '<a href="/t">trending now</a></p>'
+    '<p>ok</p>'
+    '<script>var q = "<p>no</p>";</script></div>'
+    '<aside><a href="/a">Advert one</a> and <a href="/b">advert two</a>'
+    '</aside><footer>site footer boilerplate line</footer></body></html>'
+)
+
+
+def _q_html_main_content(spark, sf_dir):
+    """HTML main-content extraction (extraction.extract_main_content):
+    each multiline document becomes a full page — nav/header/aside/
+    footer/script boilerplate, its body lines as ``<p>`` blocks, plus a
+    planted entity-and-inline-markup paragraph (kept), a link-farm
+    paragraph (dropped by link density), and a short paragraph (dropped
+    by min length).  The operator must strip every boilerplate subtree
+    and keep exactly the long low-link-density blocks, in order."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        extract_main_content,
+    )
+
+    m = _docs_multiline(spark, sf_dir)
+    pages = m.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE),
+            F.replace(
+                F.coalesce("text", F.lit("")), F.lit("\n"), F.lit("</p><p>")
+            ),
+            F.lit(_HTML_POST),
+        ).alias("html"),
+    )
+    out = extract_main_content(pages)
+    return out.select(
+        "id",
+        "main_text",
+        *[F.col(c).cast("long").alias(c)
+          for c in ("n_blocks", "n_kept", "n_short_dropped",
+                    "n_link_dropped")],
+    ).orderBy("id")
+
+
+def _dk_vis(e: str) -> str:
+    """DuckDB twin of extraction.visible_text — identical op order:
+    strip tags → entity chain (&amp; LAST) → squeeze → trim."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        f"regexp_replace({e}, '(?s)<[^>]*>', ' ', 'g'),"
+        " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),"
+        " '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+def _dk_clean_html(e: str) -> str:
+    """DuckDB twin of the operator's subtree-removal chain, same
+    order: comments, then script/style/head/nav/header/footer/aside/
+    form (separate passes — RE2 has no backreferences)."""
+    out = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in ("script", "style", "head", "nav", "header", "footer",
+                "aside", "form"):
+        out = (f"regexp_replace({out},"
+               f" '(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')")
+    return out
+
+
+_DK_BLOCK_RE = (
+    "(?i)</?(?:p|div|section|article|main|h[1-6]|ul|ol|li|table|thead"
+    "|tbody|tr|td|th|blockquote|pre|br|hr|html|body|title)\\b[^>]*>"
+)
+
+_SQL_HTML_MAIN_CONTENT = f"""
+WITH m AS ({_MULTILINE_SQL}),
+pages AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' ||
+         replace(coalesce(text, ''), chr(10), '</p><p>') ||
+         '{_HTML_POST}' AS html
+  FROM m
+),
+c AS (SELECT doc_id, {_dk_clean_html('html')} AS h FROM pages),
+ba AS (
+  SELECT doc_id, regexp_split_to_array(h, '{_DK_BLOCK_RE}') AS bl
+  FROM c
+),
+pb AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+         {_dk_vis('bl[u.i]')} AS txt,
+         COALESCE(list_sum(list_transform(
+             regexp_extract_all(bl[u.i],
+                 '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+             a -> length({_dk_vis('a')}))), 0) AS lc
+  FROM ba, UNNEST(range(1, len(bl) + 1)) AS u(i)
+),
+nb AS (
+  SELECT doc_id, i, txt, lc,
+         (length(txt) >= 25) AS is_long,
+         (10000 * lc <= 3300 * length(txt)) AS low_link
+  FROM pb WHERE length(txt) > 0
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(txt, chr(10) ORDER BY i)
+                  FILTER (WHERE is_long AND low_link), '') AS main_text,
+         count(*)::BIGINT AS n_blocks,
+         count(*) FILTER (WHERE is_long AND low_link)::BIGINT AS n_kept,
+         count(*) FILTER (WHERE NOT is_long)::BIGINT AS n_short_dropped,
+         count(*) FILTER (WHERE is_long AND NOT low_link)::BIGINT
+             AS n_link_dropped
+  FROM nb GROUP BY doc_id
+)
+SELECT m.doc_id AS id,
+       COALESCE(agg.main_text, '') AS main_text,
+       COALESCE(agg.n_blocks, 0) AS n_blocks,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       COALESCE(agg.n_short_dropped, 0) AS n_short_dropped,
+       COALESCE(agg.n_link_dropped, 0) AS n_link_dropped
+FROM m LEFT JOIN agg USING (doc_id)
+ORDER BY id
+"""
+
+
+def _q_layout_reading_order(spark, sf_dir):
+    """Layout reading-order assembly (extraction.layout_reading_order):
+    each document's words chunk into 6-word layout blocks laid out 8
+    per page — a full-width title, three left-column and three
+    right-column blocks, and a full-width bottom rule — with the
+    LAYOUT SLOT a bijective scramble of block order (slot = 3·i mod 8),
+    so assembling in (band, column, y, x) reading order is a genuine
+    permutation the oracle recomputes independently."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        layout_reading_order,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("ws")
+    )
+    idx = d.select(
+        "doc_id", "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(ws) - 1) div 6"))
+        ).alias("i"),
+    )
+    blk = idx.select(
+        "doc_id",
+        F.col("i").cast("long").alias("block_id"),
+        F.expr("CAST(i div 8 AS BIGINT)").alias("page"),
+        F.expr("(3 * i) % 8").alias("slot"),
+        F.expr("array_join(slice(ws, i * 6 + 1, 6), ' ')").alias("text"),
+    ).select(
+        "doc_id", "page", "block_id", "text",
+        F.expr("CAST(CASE WHEN slot BETWEEN 4 AND 6 THEN 520 ELSE 0 END"
+               " AS BIGINT)").alias("x0"),
+        F.expr(
+            "CAST(CASE WHEN slot = 0 THEN 0 WHEN slot = 7 THEN 550"
+            " WHEN slot <= 3 THEN 100 + 150 * (slot - 1)"
+            " ELSE 100 + 150 * (slot - 4) END AS BIGINT)"
+        ).alias("y0"),
+        F.expr("CAST(CASE WHEN slot = 0 OR slot = 7 THEN 1000"
+               " WHEN slot <= 3 THEN 480 ELSE 1000 END AS BIGINT)")
+        .alias("x1"),
+        F.expr(
+            "CAST(CASE WHEN slot = 0 THEN 80 WHEN slot = 7 THEN 600"
+            " WHEN slot <= 3 THEN 220 + 150 * (slot - 1)"
+            " ELSE 220 + 150 * (slot - 4) END AS BIGINT)"
+        ).alias("y1"),
+    )
+    out = layout_reading_order(blk)
+    return out.select(
+        "doc_id", "page", "page_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_fullwidth").cast("long").alias("n_fullwidth"),
+    ).orderBy("doc_id", "page")
+
+
+_SQL_LAYOUT_READING_ORDER = """
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, CAST(u.i AS INTEGER) AS i
+  FROM w, UNNEST(range(0, ((len(ws) - 1) // 6) + 1)) AS u(i)
+),
+blk AS (
+  SELECT doc_id, i::BIGINT AS block_id, (i // 8)::BIGINT AS page,
+         (3 * i) % 8 AS slot,
+         array_to_string(ws[i * 6 + 1 : i * 6 + 6], ' ') AS text
+  FROM idx
+),
+geo AS (
+  SELECT doc_id, page, block_id, text,
+         (CASE WHEN slot BETWEEN 4 AND 6 THEN 520 ELSE 0 END)::BIGINT
+             AS x0,
+         (CASE WHEN slot = 0 THEN 0 WHEN slot = 7 THEN 550
+               WHEN slot <= 3 THEN 100 + 150 * (slot - 1)
+               ELSE 100 + 150 * (slot - 4) END)::BIGINT AS y0,
+         (CASE WHEN slot = 0 OR slot = 7 THEN 1000
+               WHEN slot <= 3 THEN 480 ELSE 1000 END)::BIGINT AS x1,
+         (CASE WHEN slot = 0 THEN 80 WHEN slot = 7 THEN 600
+               WHEN slot <= 3 THEN 220 + 150 * (slot - 1)
+               ELSE 220 + 150 * (slot - 4) END)::BIGINT AS y1
+  FROM blk
+),
+f AS (
+  SELECT *, (10000 * (x1 - x0) >= 6000 * 1000) AS is_fw FROM geo
+),
+ord AS (
+  SELECT doc_id, page, block_id, text, y0, x0, is_fw,
+         2 * (SELECT count(*) FROM f f2
+              WHERE f2.doc_id = f.doc_id AND f2.page = f.page
+                AND f2.is_fw AND f2.y1 <= f.y0)
+           + (CASE WHEN is_fw THEN 1 ELSE 0 END) AS band,
+         (CASE WHEN is_fw THEN 0
+               WHEN x0 + x1 < 1000 THEN 1 ELSE 2 END) AS col
+  FROM f
+)
+SELECT doc_id, page,
+       string_agg(text, chr(10)
+                  ORDER BY band, col, y0, x0, block_id) AS page_text,
+       count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN is_fw THEN 1 ELSE 0 END)::BIGINT AS n_fullwidth
+FROM ord
+GROUP BY doc_id, page
+ORDER BY doc_id, page
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -3404,6 +3649,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: product quantization end-to-end (train 4
         # subspace codebooks, encode, ADC top-k in integer micro-units)
         "pq_adc_topk": _q_pq_adc_topk,
+        # r5 session 2: the north rule's named extraction tier — HTML
+        # main-content extraction (DOM boilerplate heuristics) and the
+        # PDF/layout-parse reading-order analog (one-level XY-cut)
+        "html_main_content": _q_html_main_content,
+        "layout_reading_order": _q_layout_reading_order,
     }
 
 
@@ -3482,4 +3732,6 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assign": _sql_cluster_assign(),
         "dedup_substring": _SQL_SUBSTRING_SPANS,
         "pq_adc_topk": _sql_pq_adc_topk(),
+        "html_main_content": _SQL_HTML_MAIN_CONTENT,
+        "layout_reading_order": _SQL_LAYOUT_READING_ORDER,
     }

@@ -1,0 +1,157 @@
+"""Main-content extraction operators (operators/extraction.py) — the
+north rule's named extraction tier: HTML boilerplate strip + DOM
+heuristics, and the PDF/layout-parse reading-order analog."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.operators.extraction import (
+    extract_main_content,
+    layout_reading_order,
+)
+
+_PAGE = """<html><head><title>Long page title over any threshold here</title>
+<style>p{color:red}</style></head><body>
+<nav><a href="/">Home</a> <a href="/x">Archive</a> <a href="/y">About us page</a></nav>
+<header><h1>Site Name Banner Headline Words</h1></header>
+<div id="main">
+<p>This is the first real paragraph of the article, with enough characters to pass.</p>
+<p>Q &amp; A session notes with <b>bold</b> words &lt;escaped&gt; and more than enough length here.</p>
+<p><a href="/r">related</a> <a href="/m">more stories here</a> <a href="/t">trending now today</a></p>
+<p>ok</p>
+<script>var x = "<p>not a block</p>";</script>
+</div>
+<aside><a href="/ad">Advert one</a> click <a href="/ad2">here now</a></aside>
+<footer>site footer boilerplate line for the page</footer>
+</body></html>"""
+
+
+def _one(df):
+    return df.collect()[0].asDict()
+
+
+def test_extract_main_content_heuristics(spark):
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    r = _one(extract_main_content(df))
+    kept = r["main_text"].split("\n")
+    # exactly the two long, low-link-density article paragraphs, in order
+    assert kept == [
+        "This is the first real paragraph of the article, with enough"
+        " characters to pass.",
+        "Q & A session notes with bold words <escaped> and more than"
+        " enough length here.",
+    ]
+    # nav/header/aside/footer/script/style/title never leak
+    for frag in ("Home", "Banner", "Advert", "footer", "color:red",
+                 "not a block", "page title"):
+        assert frag not in r["main_text"]
+    assert r["n_blocks"] == 4  # two kept + link-farm + "ok"
+    assert r["n_kept"] == 2
+    assert r["n_short_dropped"] == 1  # "ok"
+    assert r["n_link_dropped"] == 1  # the all-anchor paragraph
+
+
+def test_extract_null_and_empty_html(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "<p>plain text body long enough to keep"
+                                 " around here</p>")],
+        "doc_id long, html string",
+    )
+    rows = {r["id"]: r.asDict()
+            for r in extract_main_content(df).collect()}
+    assert rows[1]["main_text"] == "" and rows[1]["n_blocks"] == 0
+    assert rows[2]["main_text"] == "" and rows[2]["n_blocks"] == 0
+    assert rows[3]["n_kept"] == 1
+
+
+def test_extract_entity_decode_single_pass(spark):
+    # &amp; decodes LAST, so "&amp;lt;" becomes the literal "&lt;",
+    # never a second-pass "<"
+    df = spark.createDataFrame(
+        [(1, "<p>escaped entity &amp;lt; stays literal in this long"
+             " paragraph</p>")],
+        "doc_id long, html string",
+    )
+    r = _one(extract_main_content(df))
+    assert "&lt;" in r["main_text"] and "< " not in r["main_text"]
+
+
+def test_extract_nested_container_pinned_limit(spark):
+    # Documented limitation: a same-named nested container keeps the
+    # inner tail (non-greedy match ends at the FIRST close tag).  Pin
+    # it so any change is deliberate.
+    html = ("<nav>outer <nav>inner</nav> tail of the outer nav block"
+            " long enough</nav><p>real article body text long enough"
+            " to keep</p>")
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = _one(extract_main_content(df))
+    assert "real article body" in r["main_text"]
+    assert "tail of the outer nav" in r["main_text"]  # the pinned leak
+
+
+def test_extract_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, _PAGE)], "doc_id long, html string")
+    plan = (
+        extract_main_content(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row projection
+
+
+_COLS = ("doc_id long, page long, block_id long, x0 long, y0 long,"
+         " x1 long, y1 long, text string")
+
+
+def _blocks(spark, rows, order=None):
+    df = spark.createDataFrame(rows, _COLS)
+    return {
+        (r["doc_id"], r["page"]): r.asDict()
+        for r in layout_reading_order(df).collect()
+    }
+
+
+def test_layout_two_column_reading_order(spark):
+    rows = [
+        (7, 0, 0, 0, 0, 1000, 80, "TITLE"),
+        (7, 0, 1, 0, 100, 480, 220, "left one"),
+        (7, 0, 2, 520, 100, 1000, 220, "right one"),
+        (7, 0, 3, 0, 250, 480, 370, "left two"),
+        (7, 0, 4, 0, 550, 1000, 600, "BOTTOM"),
+    ]
+    out = _blocks(spark, rows)
+    r = out[(7, 0)]
+    assert r["page_text"] == "TITLE\nleft one\nleft two\nright one\nBOTTOM"
+    assert r["n_blocks"] == 5 and r["n_fullwidth"] == 2
+    # input order must not matter
+    out2 = _blocks(spark, list(reversed(rows)))
+    assert out2[(7, 0)]["page_text"] == r["page_text"]
+
+
+def test_layout_multiple_bands(spark):
+    # fw cut mid-page: column text above it reads before it, column
+    # text below it after — the 2*count+is_fw band arithmetic
+    rows = [
+        (1, 0, 0, 0, 100, 480, 200, "above left"),
+        (1, 0, 1, 520, 100, 1000, 200, "above right"),
+        (1, 0, 2, 0, 300, 1000, 340, "RULE"),
+        (1, 0, 3, 520, 400, 1000, 500, "below right"),
+        (1, 0, 4, 0, 400, 480, 500, "below left"),
+    ]
+    r = _blocks(spark, rows)[(1, 0)]
+    assert r["page_text"].split("\n") == [
+        "above left", "above right", "RULE", "below left", "below right",
+    ]
+
+
+def test_layout_tie_break_and_pages(spark):
+    # same column, same y0 → x0 then block_id break ties; pages are
+    # independent groups
+    rows = [
+        (1, 0, 0, 10, 100, 200, 150, "a"),
+        (1, 0, 1, 5, 100, 195, 150, "b"),
+        (1, 1, 2, 0, 0, 1000, 50, "page2 title wide"),
+    ]
+    out = _blocks(spark, rows)
+    assert out[(1, 0)]["page_text"] == "b\na"
+    assert out[(1, 1)]["n_fullwidth"] == 1

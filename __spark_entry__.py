@@ -3157,6 +3157,133 @@ ORDER BY query_id, rank
 """
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.ivfpq_index + ivfpq_topk — the FAISS
+    IndexIVFPQ decomposition): trained coarse quantizer routes the
+    corpus into 8 inverted lists of PQ codes, each query probes its 2
+    nearest lists and ADC re-ranks only those lists' codes.  The
+    oracle recomposes BOTH training loops (shared unrolled-Lloyd
+    prefix + the PQ rounds), the probe set and the candidate-restricted
+    ADC from first principles in SQL."""
+    from memo_fraktur_ocr_code_spark.operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    cents, cb, lists = pq.ivfpq_index(
+        corpus, dim=64, m=4, ks=4, n_lists=8, coarse_iters=2, pq_iters=2
+    )
+    return pq.ivfpq_topk(
+        queries, cents, cb, lists, dim=64, m=4, k=5, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ivfpq_topk(
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 4,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    iters: int = 2,
+) -> str:
+    """IVF-PQ oracle: the shared unrolled-Lloyd coarse prefix
+    (``_sql_lloyd_prefix``), post-training corpus assignment + query
+    probes, then the PQ training rounds (renamed ``p*`` CTEs, same
+    recipe as ``_sql_pq_adc_topk``), ADC restricted to probed lists'
+    candidates."""
+    ds = dim // m
+    prefix, prevc, sim_vc = _sql_lloyd_prefix(dim, n_lists, iters)
+    pq_cte = ""
+    prev = "pcb0"
+    for it in range(1, iters + 1):
+        pq_cte += f""",
+pa{it} AS (
+  SELECT id, sub, sv, code FROM (
+    SELECT psubs.id, psubs.sub, psubs.sv, c.code,
+           row_number() OVER (PARTITION BY psubs.id, psubs.sub
+                              ORDER BY {_sql_pq_l2('psubs.sv', 'c.cv', ds)}
+                                       ASC, c.code ASC) AS rn
+    FROM psubs JOIN {prev} AS c USING (sub)) t
+  WHERE rn = 1),
+ps{it} AS (
+  SELECT sub, code, CAST(dd.d AS INTEGER) AS d, count(*) AS n,
+         sum(CAST(floor(sv[dd.d] * 1000000) AS BIGINT)) AS sm
+  FROM pa{it}, UNNEST(range(1, {ds + 1})) AS dd(d)
+  GROUP BY sub, code, dd.d),
+pm{it} AS (
+  SELECT sub, code,
+         list(((sm - ((sm % n) + n) % n) // n) / 1000000.0 ORDER BY d)
+           AS new_cv
+  FROM ps{it} GROUP BY sub, code),
+pcb{it} AS (
+  SELECT p.sub, p.code, COALESCE(pm{it}.new_cv, p.cv) AS cv
+  FROM {prev} AS p LEFT JOIN pm{it} USING (sub, code))"""
+        prev = f"pcb{it}"
+    return f"""{prefix},
+asg AS (
+  SELECT neighbor_id AS id, list_id
+  FROM (SELECT neighbor_id, list_id,
+               row_number() OVER (PARTITION BY neighbor_id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM v CROSS JOIN {prevc} AS c) t
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings WHERE vec_id < 10),
+probes AS (
+  SELECT qid, list_id
+  FROM (SELECT qid, list_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM q CROSS JOIN {prevc} AS c) t
+  WHERE rn <= {n_probe}),
+psubs AS (
+  SELECT neighbor_id AS id, CAST(s.sub AS INTEGER) AS sub,
+         vv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+  FROM v, UNNEST(range(0, {m})) AS s(sub)),
+pcb0 AS (
+  SELECT sub, id AS code, sv AS cv FROM psubs
+  WHERE id IN (SELECT neighbor_id FROM v
+               ORDER BY neighbor_id LIMIT {ks})){pq_cte},
+enc AS (
+  SELECT id, sub, code FROM (
+    SELECT psubs.id, psubs.sub, c.code,
+           row_number() OVER (PARTITION BY psubs.id, psubs.sub
+                              ORDER BY {_sql_pq_l2('psubs.sv', 'c.cv', ds)}
+                                       ASC, c.code ASC) AS rn
+    FROM psubs JOIN {prev} AS c USING (sub)) t
+  WHERE rn = 1),
+qsubs AS (
+  SELECT qid, CAST(s.sub AS INTEGER) AS sub,
+         vv[s.sub * {ds} + 1 : s.sub * {ds} + {ds}] AS sv
+  FROM q, UNNEST(range(0, {m})) AS s(sub)),
+lut AS (
+  SELECT qid, sub, code,
+         CAST(floor({_sql_pq_l2('qsubs.sv', 'c.cv', ds)} * 1000000)
+              AS BIGINT) AS pd_u
+  FROM qsubs JOIN {prev} AS c USING (sub)),
+cand AS (
+  SELECT p.qid, a.id FROM probes p JOIN asg a USING (list_id)),
+dist AS (
+  SELECT cand.qid, cand.id, CAST(sum(pd_u) AS BIGINT) AS dist_u
+  FROM cand
+  JOIN enc ON enc.id = cand.id
+  JOIN lut ON lut.qid = cand.qid AND lut.sub = enc.sub
+          AND lut.code = enc.code
+  GROUP BY cand.qid, cand.id)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+       id AS neighbor_id, dist_u
+FROM (SELECT qid, id, dist_u,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dist_u, id) AS rank
+      FROM dist) t
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # exact-substring span dedup (r5 — Lee et al. 2022, arXiv:2107.06499)
 
@@ -3654,6 +3781,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PDF/layout-parse reading-order analog (one-level XY-cut)
         "html_main_content": _q_html_main_content,
         "layout_reading_order": _q_layout_reading_order,
+        # r5 session 2: IVF-PQ — trained coarse lists over PQ codes,
+        # candidate-restricted ADC (FAISS IndexIVFPQ decomposition)
+        "ivfpq_topk": _q_ivfpq_topk,
     }
 
 
@@ -3734,4 +3864,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _sql_pq_adc_topk(),
         "html_main_content": _SQL_HTML_MAIN_CONTENT,
         "layout_reading_order": _SQL_LAYOUT_READING_ORDER,
+        "ivfpq_topk": _sql_ivfpq_topk(),
     }

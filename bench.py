@@ -74,6 +74,7 @@ HEADLINE = [
     # product-quantization ADC search (Jégou et al. 2011)
     "dedup_substring",
     "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 

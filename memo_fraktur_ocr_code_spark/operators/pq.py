@@ -252,6 +252,15 @@ def pq_adc_topk(
         .groupBy("qid", "id")
         .agg(F.sum("pd_u").alias("dist_u"))
     )
+    return _two_phase_topk(dist, k)
+
+
+def _two_phase_topk(dist: DataFrame, k: int) -> DataFrame:
+    """(qid, id, dist_u) → per-query top-k as TWO aggregations (per
+    input partition, then per query over ≤ partitions × k survivors) —
+    never a ``row_number`` window that would sort a query's ENTIRE
+    candidate set in one task.  Ties break on ``(dist_u, id)``, a total
+    order, so the result is partitioning-independent."""
     part_top = (
         dist.withColumn("pt", F.spark_partition_id())
         .groupBy("qid", "pt")
@@ -276,3 +285,134 @@ def pq_adc_topk(
         F.col("t.id").alias("neighbor_id"),
         F.col("t.dist_u").alias("dist_u"),
     )
+
+
+def ivfpq_index(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    ks: int = 4,
+    n_lists: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index triple ``(coarse_centroids, codebook,
+    lists)`` — the FAISS ``IndexIVFPQ`` decomposition (Jégou et al.
+    2011 §V) at Spark scale: a trained coarse quantizer routes vectors
+    into ``n_lists`` inverted lists, and each list stores its members'
+    PQ codes, not their vectors.
+
+    ``lists`` is the materialization that matters at 100 TB:
+    ``(list_id, id, sub, code)`` — the corpus compressed ~64× and
+    PRE-CLUSTERED by coarse list, so a query touches only its probed
+    lists' rows.  The corpus-sized join of codes to coarse assignments
+    happens HERE, once, at index-build/ingest time (zero-shuffle over
+    id-bucketed tables); query time never shuffles the corpus.
+
+    PQ trains on the raw vectors, not per-list residuals (FAISS's
+    ``by_residual=false`` mode): residual encoding couples every code
+    to its list's centroid, which would weld the two training loops
+    together and break the shared single-codebook oracle — the
+    documented accuracy trade-off, not an oversight."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        cluster_assign,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        vectors, dim=dim, n_lists=n_lists, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    asg = cluster_assign(
+        vectors, cents, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), "list_id")
+    cb = pq_train(
+        vectors, dim=dim, m=m, ks=ks, iters=pq_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(
+        vectors, cb, dim=dim, m=m, id_col=id_col, vec_col=vec_col
+    )
+    lists = codes.join(asg, "id").select("list_id", "id", "sub", "code")
+    return cents, cb, lists
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    lists: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search over an :func:`ivfpq_index` →
+    ``(query_id, rank, neighbor_id, dist_u)``.
+
+    Each query probes its ``n_probe`` nearest coarse lists (cosine,
+    ``(c_sim DESC, list_id)`` tie-break — the repo's coarse-quantizer
+    convention shared with :func:`similarity.ivf_topk`), then ADC
+    re-ranks ONLY the probed lists' PQ codes; ``dist_u`` is the same
+    integer micro-unit ADC distance as :func:`pq_adc_topk`, so with
+    ``n_probe = n_lists`` the result is exactly the exhaustive ADC
+    answer (test-pinned).
+
+    Plan: probe table = query batch × ``n_probe`` rows → BROADCAST
+    against ``lists`` (the batch-ANN contract: queries are the small
+    side; the corpus-sized ``lists`` never shuffles and, pre-partitioned
+    by ``list_id``, never moves at all); LUT broadcast-joins on
+    ``(qid, sub, code)``; ONE ``(query, vector)``-keyed integer sum
+    with map-side combine; then the shared two-phase top-k."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    assert dim % m == 0
+    d_sub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double_array(vec_col).alias("vv")
+    )
+    probe_w = Window.partitionBy("qid").orderBy(
+        F.desc("c_sim"), "list_id"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids.select("list_id", "cv")))
+        .select(
+            "qid",
+            "list_id",
+            (
+                _dot(F.col("vv"), F.col("cv"))
+                / (_norm(F.col("vv")) * _norm(F.col("cv")))
+            ).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= int(n_probe))
+        .select("qid", "list_id")
+    )
+    lut = (
+        _subvectors(q.withColumnRenamed("qid", "id"), m, d_sub)
+        .withColumnRenamed("id", "qid")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            "code",
+            F.floor(_l2sq(F.col("sv"), F.col("cv")) * _Q)
+            .cast("long")
+            .alias("pd_u"),
+        )
+    )
+    dist = (
+        lists.join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("pd_u").alias("dist_u"))
+    )
+    return _two_phase_topk(dist, k)

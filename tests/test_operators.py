@@ -1134,3 +1134,55 @@ def test_pq_train_encode_adc(spark):
     ).orderBy("rank").collect()
     assert [r["neighbor_id"] for r in top] == [11, 20, 21, 22]
     assert all(r["dist_u"] == 0 for r in top)
+
+
+def test_ivfpq_full_probe_equals_exhaustive_adc(spark):
+    """With n_probe = n_lists, IVF-PQ search must return EXACTLY the
+    exhaustive ADC answer (same neighbors, same integer distances, same
+    ranks) — the probe restriction is the only approximation IVF adds
+    on top of PQ, so widening it to every list must cancel it.  Also
+    pins that a restricted probe returns a subset of the exhaustive
+    candidates per query."""
+    import random
+
+    from memo_fraktur_ocr_code_spark.operators import pq
+
+    rng = random.Random(7)
+    dim, m, ks, n_lists = 8, 2, 4, 4
+    # components are multiples of 1/8: exact in binary and under the
+    # 1e-6 floor quantization both engines of the repo use
+    rows = [
+        (vid, [rng.randrange(0, 9) / 8.0 for _ in range(dim)])
+        for vid in range(10, 40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(1, rows[3][1]), (2, rows[17][1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents, cb, lists = pq.ivfpq_index(
+        corpus, dim=dim, m=m, ks=ks, n_lists=n_lists,
+        coarse_iters=2, pq_iters=2,
+    )
+    codes = lists.select("id", "sub", "code")
+    exhaustive = pq.pq_adc_topk(
+        queries, cb, codes, dim=dim, m=m, k=5
+    )
+    full_probe = pq.ivfpq_topk(
+        queries, cents, cb, lists, dim=dim, m=m, k=5, n_probe=n_lists
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    exp = sorted((r.asDict() for r in exhaustive.collect()), key=key)
+    got = sorted((r.asDict() for r in full_probe.collect()), key=key)
+    assert got == exp and len(got) == 10
+    # narrow probe: still k rows per query, every hit drawn from the
+    # exhaustive candidate pool at a distance >= the exhaustive rank-1
+    narrow = pq.ivfpq_topk(
+        queries, cents, cb, lists, dim=dim, m=m, k=5, n_probe=1
+    ).collect()
+    assert len(narrow) == 10
+    best = {r["query_id"]: r["dist_u"] for r in exp if r["rank"] == 1}
+    for r in narrow:
+        assert r["dist_u"] >= best[r["query_id"]]

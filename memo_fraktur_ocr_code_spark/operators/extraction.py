@@ -122,10 +122,13 @@ def extract_main_content(
 
     def _block(b: Column) -> Column:
         txt = visible_text(b)
+        # 64-bit accumulator: the DuckDB oracle computes these products
+        # in BIGINT, and a link-index block past ~214k anchor chars
+        # would overflow a 32-bit 10000*lc (ANSI raises, legacy wraps)
         link_chars = F.aggregate(
             F.regexp_extract_all(b, F.lit(ANCHOR_RE), F.lit(1)),
-            F.lit(0),
-            lambda acc, a: acc + F.length(visible_text(a)),
+            F.lit(0).cast("long"),
+            lambda acc, a: acc + F.length(visible_text(a)).cast("long"),
         )
         return F.struct(txt.alias("t"), link_chars.alias("lc"))
 
@@ -133,7 +136,9 @@ def extract_main_content(
     nonempty = F.filter(blocks, lambda s: F.length(s["t"]) > 0)
     is_long = lambda s: F.length(s["t"]) >= F.lit(int(min_chars))  # noqa: E731
     low_link = lambda s: (  # noqa: E731
-        F.lit(10000) * s["lc"] <= F.lit(int(max_link_bp)) * F.length(s["t"])
+        F.lit(10000).cast("long") * s["lc"]
+        <= F.lit(int(max_link_bp)).cast("long")
+        * F.length(s["t"]).cast("long")
     )
     kept = F.filter(nonempty, lambda s: is_long(s) & low_link(s))
     short_dropped = F.filter(nonempty, lambda s: ~is_long(s))

@@ -115,6 +115,12 @@ def bucket_file_stats(spark: SparkSession, table: str) -> dict:
         for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     }
     location = meta["Location"]
+    if "Num Buckets" not in meta:
+        raise ValueError(
+            f"table {table!r} carries no bucket spec (DESCRIBE FORMATTED "
+            "has no 'Num Buckets' row) — bucket_file_stats/compaction "
+            "only apply to bucketed tables"
+        )
     n_buckets = int(meta["Num Buckets"])
     bucket_cols = re.findall(r"`([^`]+)`", meta.get("Bucket Columns", ""))
     sort_cols = re.findall(r"`([^`]+)`", meta.get("Sort Columns", ""))
@@ -148,10 +154,19 @@ def table_checksum(spark: SparkSession, table: str) -> tuple[int, int]:
     over every column, folded with ``bit_xor`` (associative/commutative,
     so partitioning and file layout can't change it; ``sum`` would
     overflow under ANSI).  The equality witness for
-    rewrite-preserves-content."""
+    rewrite-preserves-content.
+
+    Each column is hashed as a single-field struct, not passed bare:
+    Spark's ``xxhash64`` leaves its accumulator untouched for NULL
+    inputs, so bare-column hashing would give ``('x', NULL)`` and
+    ``(NULL, 'x')`` the same hash and a cross-column value transposition
+    would verify clean (code-review r5).  Struct hashing folds a
+    NULL-marker word per field, making NULL position significant."""
     df = spark.table(table)
     row = (
-        df.select(F.xxhash64(*df.columns).alias("_h"))
+        df.select(
+            F.xxhash64(*(F.struct(c) for c in df.columns)).alias("_h")
+        )
         .agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(_h)").alias("x"),

@@ -3614,6 +3614,312 @@ ORDER BY doc_id, page
 """
 
 
+# ---- link extraction + URL canonicalization (r5 session 2) -----------
+# Web-graph side of the extraction tier: outlink explosion, canonical
+# URLs (the key every crawl dedup stage groups on — CCNet/RefinedWeb),
+# naive eTLD+1.  Both engines synthesise the identical messy page:
+# three anchors per document exercising all three href quote forms,
+# mixed-case scheme/host, default and non-default ports, tracking
+# params in shuffled order, fragments, and an href-less anchor pinning
+# position stability.
+
+
+def _links_pages(spark, sf_dir):
+    """(doc_id, html) with three href anchors + one href-less anchor."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w1 = F.coalesce(F.get(toks, 0), F.lit("w"))
+    w2 = F.coalesce(F.get(toks, 1), F.lit("x"))
+    m = lambda k: (F.col("doc_id") % k).cast("int")  # noqa: E731
+    scheme = F.when(m(2) == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = F.concat(
+        F.lit("WWW.Site"), m(10),
+        F.when(m(5) == 0, F.lit(".CO.UK")).otherwise(F.lit(".Com")),
+    )
+    port = (
+        F.when((m(4) == 0) & (m(2) == 0), F.lit(":443"))
+        .when((m(4) == 0), F.lit(":80"))
+        .when(m(4) == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    query = (
+        F.when(m(3) == 0, F.lit("?z=9&a=1&utm_campaign=x"))
+        .when(m(3) == 1, F.lit("?a=1&z=9"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(m(2) == 1, F.lit("#sec")).otherwise(F.lit(""))
+    abs_url = F.concat(scheme, F.lit("://"), host, port,
+                       F.lit("/p/"), m(20), query, frag)
+    html = F.concat(
+        F.lit('<p>intro <a href="/art/'), F.col("doc_id"),
+        F.lit('?utm_source=feed&b=2">'), w1,
+        F.lit(" &amp; more</a> <a name=t>plain</a> <a href='"), abs_url,
+        F.lit("'>"), w2, F.lit("</a> <a href=/plain/"), m(7),
+        F.lit(">tail link</a></p>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+#: DuckDB twin of the synthesised page — identical byte layout.
+_LINKS_PAGES_SQL = """
+SELECT doc_id,
+       '<p>intro <a href="/art/' || doc_id ||
+       '?utm_source=feed&b=2">' ||
+       coalesce(string_split(coalesce(text, ''), ' ')[1], 'w') ||
+       ' &amp; more</a> <a name=t>plain</a> <a href=''' ||
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+       '://WWW.Site' || (doc_id % 10) ||
+       (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.Com' END) ||
+       (CASE WHEN doc_id % 4 = 0 AND doc_id % 2 = 0 THEN ':443'
+             WHEN doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+       '/p/' || (doc_id % 20) ||
+       (CASE WHEN doc_id % 3 = 0 THEN '?z=9&a=1&utm_campaign=x'
+             WHEN doc_id % 3 = 1 THEN '?a=1&z=9' ELSE '' END) ||
+       (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END) ||
+       '''>' ||
+       coalesce(string_split(coalesce(text, ''), ' ')[2], 'x') ||
+       '</a> <a href=/plain/' || (doc_id % 7) ||
+       '>tail link</a></p>' AS html
+FROM documents
+"""
+
+_DK_TRACKING_RE = (
+    "^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)"
+    "(=|$)"
+)
+
+
+def _dk_canon_ctes(href_cte: str = "h") -> str:
+    """DuckDB twin of extraction.canonicalize_url as a CTE chain over
+    ``{href_cte}(… href …)`` — one stage per column so every regex
+    matches the Spark chain verbatim."""
+    return f"""
+cu0 AS (
+  SELECT *, regexp_replace(trim(href), '(?s)#.*$', '') AS _u
+  FROM {href_cte}
+),
+cu1 AS (
+  SELECT *,
+         lower(nullif(regexp_extract(_u,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS _scheme,
+         regexp_replace(_u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS _rest
+  FROM cu0
+),
+cu2 AS (
+  SELECT *, regexp_extract(_rest, '^([^/?]*)', 1) AS _auth FROM cu1
+),
+cu3 AS (
+  SELECT *,
+         lower(regexp_replace(_auth, '^[^@]*@', '')) AS _hostport,
+         substr(_rest, length(_auth) + 1) AS _pathq
+  FROM cu2
+),
+cu4 AS (
+  SELECT *,
+         (CASE WHEN _scheme = 'http'
+                   THEN regexp_replace(_hostport, ':80$', '')
+               WHEN _scheme = 'https'
+                   THEN regexp_replace(_hostport, ':443$', '')
+               ELSE _hostport END) AS _host,
+         (CASE WHEN length(regexp_extract(_pathq, '^([^?]*)', 1)) = 0
+               THEN '/'
+               ELSE regexp_extract(_pathq, '^([^?]*)', 1) END) AS _path,
+         array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(_pathq,
+                 '(?s)^[^?]*\\?(.*)$', 1), '&'),
+             p -> length(p) > 0 AND NOT regexp_matches(lower(p),
+                 '{_DK_TRACKING_RE}'))), '&') AS _q
+  FROM cu3
+),
+canon AS (
+  SELECT *,
+         (CASE WHEN _scheme IS NOT NULL THEN
+             _scheme || '://' || _host || _path ||
+             (CASE WHEN length(_q) > 0 THEN '?' || _q ELSE '' END)
+          END) AS canonical_url
+  FROM cu4
+),
+rd AS (
+  SELECT *,
+         nullif(regexp_extract(coalesce(canonical_url, ''),
+             '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1), '') AS _rdhost
+  FROM canon
+),
+rd2 AS (
+  SELECT *, string_split(_rdhost, '.') AS _labels FROM rd
+),
+rd3 AS (
+  SELECT *,
+         (CASE WHEN array_to_string(
+                   _labels[greatest(len(_labels) - 1, 1):], '.')
+               IN ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+                   'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                   'co.in','co.nz')
+                   AND len(_labels) >= 3
+               THEN 3 ELSE 2 END) AS _take
+  FROM rd2
+),
+regdom AS (
+  SELECT *,
+         (CASE WHEN _rdhost IS NULL THEN NULL
+               WHEN regexp_matches(_rdhost,
+                   '^[0-9]+(\\.[0-9]+){{3}}$')
+                   OR len(_labels) <= _take
+               THEN _rdhost
+               ELSE array_to_string(
+                   _labels[len(_labels) - _take + 1:], '.') END)
+             AS reg_domain
+  FROM rd3
+)"""
+
+
+def _q_extract_links(spark, sf_dir):
+    """Outlink explosion + URL canonicalization + eTLD+1
+    (extraction.extract_links / canonicalize_url / registered_domain):
+    one row per href-carrying anchor of the synthesised pages, with
+    the canonical form of the href (relative hrefs → NULL: resolving
+    needs a base join) and the registered domain of its host."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        canonicalize_url,
+        extract_links,
+        registered_domain,
+    )
+
+    links = extract_links(_links_pages(spark, sf_dir))
+    canon = canonicalize_url(F.col("href"))
+    host = F.nullif(
+        F.regexp_extract(
+            F.coalesce(canon, F.lit("")),
+            r"^[a-z][a-z0-9+.-]*://([^/:?]*)", 1,
+        ),
+        F.lit(""),
+    )
+    return links.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        "href",
+        "anchor_text",
+        canon.alias("canonical_url"),
+        F.when(host.isNotNull(), registered_domain(host)).alias(
+            "reg_domain"
+        ),
+    ).orderBy("id", "pos")
+
+
+_SQL_EXTRACT_LINKS = f"""
+WITH pages AS ({_LINKS_PAGES_SQL}),
+an AS (
+  SELECT doc_id,
+         regexp_extract_all(
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+             '(?is)<a\\b[^>]*>.*?</a>', 0) AS arr
+  FROM pages
+),
+ex AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, arr[u.i] AS a
+  FROM an, UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+parsed AS (
+  SELECT doc_id, pos,
+         regexp_extract(a, '(?is)^<a\\b([^>]*)>', 1) AS attrs,
+         regexp_extract(a, '(?is)^<a\\b[^>]*>(.*)</a>$', 1) AS body
+  FROM ex
+),
+h AS (
+  SELECT doc_id, pos,
+         coalesce(
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*"([^"]*)"', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*([^\\s"''>]+)', 1), '')) AS href,
+         {_dk_vis('body')} AS anchor_text
+  FROM parsed
+  WHERE coalesce(
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*"([^"]*)"', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*([^\\s"''>]+)', 1), ''))
+        IS NOT NULL
+),{_dk_canon_ctes("h")}
+SELECT doc_id AS id, pos, href, anchor_text, canonical_url, reg_domain
+FROM regdom
+ORDER BY id, pos
+"""
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level dedup (the RefinedWeb/CCNet pre-text stage): group the
+    absolute outlinks by canonical URL — congruent doc_ids synthesise
+    byte-DIFFERENT raw URLs (case, default ports, tracking params,
+    fragments, param order) that canonicalize equal, so the groups are
+    real.  Emits per canonical URL: reference count, distinct referring
+    docs, and the deterministic keeper (smallest referring doc_id) —
+    exactly the keep-first rule a frontier dedup applies."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        canonicalize_url,
+        extract_links,
+    )
+
+    links = extract_links(_links_pages(spark, sf_dir))
+    canon = links.select(
+        "id", canonicalize_url(F.col("href")).alias("canonical_url")
+    ).where(F.col("canonical_url").isNotNull())
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("keeper_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+_SQL_URL_DEDUP = f"""
+WITH pages AS ({_LINKS_PAGES_SQL}),
+an AS (
+  SELECT doc_id,
+         regexp_extract_all(
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+             '(?is)<a\\b[^>]*>.*?</a>', 0) AS arr
+  FROM pages
+),
+ex AS (
+  SELECT doc_id, arr[u.i] AS a
+  FROM an, UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+h AS (
+  SELECT doc_id,
+         coalesce(
+             nullif(regexp_extract(
+                 regexp_extract(a, '(?is)^<a\\b([^>]*)>', 1),
+                 '(?i)\\bhref\\s*=\\s*"([^"]*)"', 1), ''),
+             nullif(regexp_extract(
+                 regexp_extract(a, '(?is)^<a\\b([^>]*)>', 1),
+                 '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1), ''),
+             nullif(regexp_extract(
+                 regexp_extract(a, '(?is)^<a\\b([^>]*)>', 1),
+                 '(?i)\\bhref\\s*=\\s*([^\\s"''>]+)', 1), '')) AS href
+  FROM ex
+),
+hh AS (SELECT doc_id, href FROM h WHERE href IS NOT NULL),{
+    _dk_canon_ctes("hh")}
+SELECT canonical_url,
+       count(*)::BIGINT AS n_refs,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id) AS keeper_doc
+FROM regdom
+WHERE canonical_url IS NOT NULL
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -3784,6 +4090,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: IVF-PQ — trained coarse lists over PQ codes,
         # candidate-restricted ADC (FAISS IndexIVFPQ decomposition)
         "ivfpq_topk": _q_ivfpq_topk,
+        # r5 session 2: web-graph extraction — outlink explosion with
+        # canonical URLs + eTLD+1, and canonical-URL frontier dedup
+        "extract_links": _q_extract_links,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -3865,4 +4175,6 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": _SQL_HTML_MAIN_CONTENT,
         "layout_reading_order": _SQL_LAYOUT_READING_ORDER,
         "ivfpq_topk": _sql_ivfpq_topk(),
+        "extract_links": _SQL_EXTRACT_LINKS,
+        "url_dedup": _SQL_URL_DEDUP,
     }

@@ -2,7 +2,7 @@
 ("HTML boilerplate strip, PDF/layout parse, DOM heuristics") as
 engine-portable Spark operators.
 
-Two operators:
+Four operators:
 
 * :func:`extract_main_content` — HTML → main text via the public
   boilerpipe / JusText heuristic family (Kohlschütter et al. WSDM'10;
@@ -14,6 +14,20 @@ Two operators:
   single narrow projection — regex chains + array higher-order
   functions per row, NO shuffle, NO UDF — so it runs at scan speed and
   scales embarrassingly to a 100 TB crawl.
+
+* :func:`extract_links` — HTML → one row per ``<a href=…>`` anchor
+  (the web-graph side of extraction: outlink tables feed URL-frontier
+  dedup, host-level quality priors and link-spam scoring).  Pure
+  Catalyst ``regexp_extract_all`` + ``posexplode`` — the only plan
+  growth is the explode itself.
+
+* :func:`canonicalize_url` (a Column builder) — the URL normalization
+  every crawl-dedup stage runs before keying anything on a URL
+  (CCNet / RefinedWeb dedup by canonical URL): lowercase scheme+host,
+  strip userinfo / default ports / fragments / tracking parameters,
+  sort the surviving query parameters.  :func:`registered_domain`
+  extracts the naive eTLD+1 (small built-in multi-label suffix list —
+  a full public-suffix list is a data file, not an algorithm change).
 
 * :func:`layout_reading_order` — the PDF/layout-parse analog over a
   typed layout-block table ``(doc, page, block, x0, y0, x1, y1,
@@ -153,6 +167,168 @@ def extract_main_content(
         F.size(kept).alias("n_kept"),
         F.size(short_dropped).alias("n_short_dropped"),
         F.size(link_dropped).alias("n_link_dropped"),
+    )
+
+
+#: Full anchor elements (open tag + body + close).  Non-greedy body,
+#: no backreferences — RE2-safe like every regex in this module.
+ANCHOR_FULL_RE = r"(?is)<a\b[^>]*>.*?</a>"
+
+#: Tracking / click-id query parameters dropped by canonicalization —
+#: the de-facto standard strip set (utm_* per Google Analytics docs,
+#: the ad-network click ids, mailchimp/instagram share ids).  Matched
+#: against ``name=`` (or bare ``name``) case-insensitively via
+#: lower() on the pair.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)"
+    r"(=|$)"
+)
+
+#: Multi-label public suffixes recognised by :func:`registered_domain`
+#: — the common ccTLD second-level registries.  A production run swaps
+#: in the full Mozilla public-suffix list as a broadcast lookup; the
+#: ALGORITHM (match longest known suffix, keep one more label) is this.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.nz",
+)
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Explode an HTML column into its outlinks.
+
+    Returns one row per ``<a>`` element that carries an ``href``
+    attribute (anchors without one — fragment targets — are dropped):
+
+    ``(id, pos, href, anchor_text)``
+
+    * ``pos`` is the 0-based anchor index in document order (position
+      among ALL anchors, including href-less ones, so it is stable
+      under attribute edits);
+    * ``href`` honours double-quoted, single-quoted and unquoted
+      attribute syntax, first match wins in that order;
+    * ``anchor_text`` is :func:`visible_text` of the anchor body — the
+      same text definition :func:`extract_main_content` scores with.
+
+    This is an exploded child table (docs with no anchors contribute
+    no rows), the natural shape for a link graph — join back to the
+    page table on ``id`` when page context is needed.
+
+    Scale shape: generate + project, zero shuffle; output size is the
+    anchor count, so partitioning inherits from the source scan and a
+    downstream ``groupBy(host)`` is the first exchange.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    anchors = F.regexp_extract_all(h, F.lit(ANCHOR_FULL_RE), F.lit(0))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(anchors).alias("pos", "_a"),
+    )
+    attrs = F.regexp_extract(F.col("_a"), r"(?is)^<a\b([^>]*)>", 1)
+    body = F.regexp_extract(F.col("_a"), r"(?is)^<a\b[^>]*>(.*)</a>$", 1)
+    href = F.coalesce(
+        F.nullif(
+            F.regexp_extract(attrs, r'(?i)\bhref\s*=\s*"([^"]*)"', 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(attrs, r"(?i)\bhref\s*=\s*'([^']*)'", 1),
+            F.lit(""),
+        ),
+        F.nullif(
+            F.regexp_extract(attrs, r"""(?i)\bhref\s*=\s*([^\s"'>]+)""", 1),
+            F.lit(""),
+        ),
+    )
+    return (
+        exploded.select(
+            "id",
+            "pos",
+            href.alias("href"),
+            visible_text(body).alias("anchor_text"),
+        )
+        .where(F.col("href").isNotNull())
+    )
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of an absolute URL (NULL when there is no
+    ``scheme://`` prefix — relative URLs need a base to resolve
+    against, which is a join with the page table, not a rewrite).
+
+    Chain (every step a portable regex/list op — the DuckDB oracle
+    mirrors it verbatim):
+
+    1. trim, drop the ``#fragment``;
+    2. lowercase the scheme;
+    3. authority: strip ``userinfo@``, lowercase host, strip the
+       scheme's default port (``:80`` http, ``:443`` https);
+    4. path: empty → ``/`` (``http://h`` ≡ ``http://h/`` per RFC 3986
+       §6.2.3); otherwise kept verbatim — trailing-slash and
+       percent-encoding rewrites change semantics and stay out;
+    5. query: split on ``&``, drop empties and tracking params
+       (:data:`TRACKING_PARAM_RE`), byte-sort the rest, rejoin.
+    """
+    u = F.regexp_replace(F.trim(col), r"(?s)#.*$", "")
+    scheme = F.lower(
+        F.nullif(
+            F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1),
+            F.lit(""),
+        )
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
+    host = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    pathq = F.substring(rest, F.length(authority) + 1, F.lit(1 << 30))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"(?s)^[^?]*\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.when(
+        scheme.isNotNull(),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(F.length(q) > 0, F.concat(F.lit("?"), q)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Naive eTLD+1 of a lowercase host: one label above the public
+    suffix, where the suffix is the last label unless the last TWO
+    labels are a known multi-label registry (:data:`MULTI_SUFFIXES`).
+    IPv4 literals pass through whole (a dotted-quad is not a DNS
+    hierarchy)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    is_multi = last2.isin(*MULTI_SUFFIXES)
+    is_ip = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    take = F.when(is_multi & (n >= 3), F.lit(3)).otherwise(F.lit(2))
+    return F.when(is_ip | (n <= take), host).otherwise(
+        F.array_join(F.slice(labels, -take, take), ".")
     )
 
 

@@ -7,8 +7,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from memo_fraktur_ocr_code_spark.operators.extraction import (
+    canonicalize_url,
+    extract_links,
     extract_main_content,
     layout_reading_order,
+    registered_domain,
 )
 
 _PAGE = """<html><head><title>Long page title over any threshold here</title>
@@ -97,6 +100,79 @@ def test_extract_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_extract_links_quote_forms_and_positions(spark):
+    html = (
+        '<p><a href="/dq?x=1">One</a> mid '
+        "<a href='/sq'>Tw&amp;o</a> "
+        "<a name=anchor-only>skip</a> "
+        "<a href=plain-form>Th<b>ree</b></a></p>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)],
+                               "doc_id long, html string")
+    rows = [r.asDict() for r in
+            extract_links(df).orderBy("id", "pos").collect()]
+    # the href-less anchor holds position 2 but emits no row; NULL html
+    # emits nothing
+    assert rows == [
+        {"id": 1, "pos": 0, "href": "/dq?x=1", "anchor_text": "One"},
+        {"id": 1, "pos": 1, "href": "/sq", "anchor_text": "Tw&o"},
+        # visible_text replaces tags with a space (the same definition
+        # main-content scoring uses), so the inline <b> splits the word
+        {"id": 1, "pos": 3, "href": "plain-form", "anchor_text": "Th ree"},
+    ]
+
+
+def test_extract_links_plan_is_narrow(spark):
+    df = spark.createDataFrame([(1, "<a href=x>y</a>")],
+                               "doc_id long, html string")
+    plan = (
+        extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # generate + project only
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(canonicalize_url(F.col("u")).alias("c")).first()["c"]
+
+
+def test_canonicalize_url_full_chain(spark):
+    assert (
+        _canon(spark, "HTTP://User:pw@WWW.Ex.COM:80/path/A?b=2"
+                      "&utm_source=x&a=1&fbclid=abc#frag")
+        == "http://www.ex.com/path/A?a=1&b=2"
+    )
+
+
+def test_canonicalize_url_ports_paths_idempotence(spark):
+    # https default port stripped; empty path becomes /
+    assert _canon(spark, "https://Ex.com:443") == "https://ex.com/"
+    # non-default port survives; so does a trailing slash difference
+    assert _canon(spark, "http://ex.com:8080/a/") == "http://ex.com:8080/a/"
+    # all-tracking query collapses to no query at all
+    assert _canon(spark, "http://ex.com/p?utm_medium=m") == "http://ex.com/p"
+    # ?ref=... is stripped but ?refresh=1 is NOT (anchored name match)
+    assert _canon(spark, "http://ex.com/p?refresh=1&ref=h") == \
+        "http://ex.com/p?refresh=1"
+    # canonicalization is idempotent
+    once = _canon(spark, "HTTPS://A.B.Co.UK/x%20y?z=1&a=2")
+    assert _canon(spark, once) == once
+    # no scheme -> NULL (relative URLs resolve via a base join, not here)
+    assert _canon(spark, "www.ex.com/path") is None
+
+
+def test_registered_domain_suffixes(spark):
+    df = spark.createDataFrame(
+        [("www.example.co.uk",), ("a.b.example.com",), ("example.com",),
+         ("co.uk",), ("192.168.0.1",), ("localhost",)],
+        "h string",
+    )
+    out = [r["rd"] for r in
+           df.select(registered_domain(F.col("h")).alias("rd")).collect()]
+    assert out == ["example.co.uk", "example.com", "example.com",
+                   "co.uk", "192.168.0.1", "localhost"]
 
 
 _COLS = ("doc_id long, page long, block_id long, x0 long, y0 long,"

@@ -2086,6 +2086,113 @@ FROM best ORDER BY vec_id
 """
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (dedup.semantic_dedup — Abbas et al. 2023): train the
+    codebook on the corpus (vec_id ≥ 10, the shared 2-round Lloyd),
+    then semantically dedup the corpus PLUS planted near-duplicates:
+    every 25th corpus vector contributes an exact copy (id+100000,
+    pair cosine exactly 1.0) and every 25th+7 a one-dimension
+    perturbation (id+200000, dim-0 + 0.1 — pair cosine ≈ 0.995 at
+    unit norm, with strictly different centroid similarities, so the
+    strict higher-c_sim-loses branch fires, not just the exact-copy
+    tie branch).  Organic pairs top out at cosine 0.51 on this table, so the
+    close-pair set is exactly the planted one and the keep rule (drop
+    the more prototypical member, ties drop the larger id) is fully
+    exercised."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    cents = sim_ops.kmeans_centroids(corpus, dim=64, n_lists=8, iters=2)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = base.where(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") >= 10)
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    perturbed = base.where(
+        (F.col("vec_id") % 25 == 7) & (F.col("vec_id") >= 10)
+    ).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + 0.1).otherwise(x),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(copies).unionByName(perturbed)
+    out = semantic_dedup(allv, cents, threshold_e6=950000)
+    return out.select(
+        "vec_id", "list_id", "c_sim_e6",
+        F.col("n_close").cast("long").alias("n_close"),
+        F.col("keep").cast("long").alias("keep"),
+    ).orderBy("vec_id")
+
+
+def _sql_semantic_dedup(
+    dim: int = 64, n_lists: int = 8, iters: int = 2,
+    threshold_e6: int = 950000,
+) -> str:
+    """semantic_dedup oracle: shared unrolled-Lloyd prefix, planted
+    copies/perturbations rebuilt in SQL (DuckDB list_transform index is
+    1-based where Spark's is 0-based), independent argmax assignment,
+    within-cluster pair join, and the same quantized dominance rule."""
+    prefix, prev, sim_vc = _sql_lloyd_prefix(dim, n_lists, iters)
+    pair_sim = (
+        f"{_sql_vec_dot('va', 'vb', dim)}"
+        f" / (sqrt({_sql_vec_dot('va', 'va', dim)})"
+        f" * sqrt({_sql_vec_dot('vb', 'vb', dim)}))"
+    )
+    return f"""{prefix},
+base AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings),
+planted AS (
+  SELECT id + 100000 AS id, vv FROM base
+  WHERE id % 25 = 0 AND id >= 10
+  UNION ALL
+  SELECT id + 200000 AS id,
+         list_transform(vv, (x, i) ->
+             CASE WHEN i = 1 THEN x + 0.1 ELSE x END) AS vv
+  FROM base WHERE id % 25 = 7 AND id >= 10),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+best AS (
+  SELECT id, list_id,
+         CAST(floor(c_sim * 1000000) AS BIGINT) AS c_sim_e6, vv
+  FROM (SELECT id, vv, list_id, {sim_vc} AS c_sim,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY {sim_vc} DESC, list_id) AS rn
+        FROM allv CROSS JOIN {prev} AS c) t
+  WHERE rn = 1),
+close AS (
+  SELECT ia, ib, ca, cb,
+         CASE WHEN ca > cb THEN ia ELSE ib END AS loser
+  FROM (
+    SELECT a.id AS ia, b.id AS ib, a.c_sim_e6 AS ca, b.c_sim_e6 AS cb,
+           CAST(floor({pair_sim} * 1000000) AS BIGINT) AS pair_e6
+    FROM (SELECT id, list_id, c_sim_e6, vv AS va FROM best) a
+    JOIN (SELECT id, list_id, c_sim_e6, vv AS vb FROM best) b
+      USING (list_id)
+    WHERE a.id < b.id) p
+  WHERE pair_e6 >= {threshold_e6}),
+nc AS (
+  SELECT id, count(*)::BIGINT AS n_close
+  FROM (SELECT ia AS id FROM close
+        UNION ALL SELECT ib AS id FROM close) u
+  GROUP BY id),
+losers AS (SELECT DISTINCT loser AS id FROM close)
+SELECT best.id AS vec_id, best.list_id, best.c_sim_e6,
+       coalesce(nc.n_close, 0) AS n_close,
+       (CASE WHEN losers.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM best LEFT JOIN nc ON best.id = nc.id
+LEFT JOIN losers ON best.id = losers.id
+ORDER BY vec_id
+"""
+
+
 def _q_f1_discard_filter(spark, sf_dir):
     """F1 — the production entry gate (run_ocr_pipeline.py:38-44): drop
     documents whose metadata row is flagged discard/quarantine, via a
@@ -4094,6 +4201,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical URLs + eTLD+1, and canonical-URL frontier dedup
         "extract_links": _q_extract_links,
         "url_dedup": _q_url_dedup,
+        # r5 session 2: SemDeDup — cluster-then-dedup semantic near-dup
+        # removal over the trained codebook (planted copies/perturbations)
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -4177,4 +4287,5 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _sql_ivfpq_topk(),
         "extract_links": _SQL_EXTRACT_LINKS,
         "url_dedup": _SQL_URL_DEDUP,
+        "semantic_dedup": _sql_semantic_dedup(),
     }

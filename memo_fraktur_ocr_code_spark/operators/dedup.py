@@ -1003,6 +1003,131 @@ def embedding_cosine_dups(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold_e6: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering first, then comparing pairs
+    ONLY inside each cluster — the trick that turns the O(n²) pairwise
+    cosine into k independent O((n/k)²) problems, embarrassingly
+    parallel across clusters.
+
+    Inputs: ``vectors`` (id, embedding) and a TRAINED codebook
+    ``centroids`` (list_id, cv) — e.g. from
+    :func:`similarity.kmeans_centroids`; assignment reuses
+    :func:`similarity.cluster_assign` (same argmax, same tie-break).
+
+    Per vector output ``(id, list_id, c_sim_e6, n_close, keep)``:
+
+    * ``c_sim_e6`` — floor(cosine-to-centroid · 1e6), the quantized
+      similarity every cross-engine comparison runs on;
+    * ``n_close`` — within-cluster partners with pair cosine ≥
+      ``threshold_e6`` (also floor-quantized to e6 before comparing);
+    * ``keep`` — 1 unless the vector LOSES some close pair.  The paper
+      keeps, within each ε-similar group, the example with the LOWEST
+      similarity to the cluster centroid (the least prototypical one —
+      §3: retains the diversity the cluster would otherwise lose), so
+      the pair's loser is the member with the HIGHER ``(c_sim_e6, id)``
+      — ties break on id, keeping the comparison integer-deterministic
+      across engines.
+
+    Pairwise dominance rather than transitive grouping: a vector
+    survives iff no close pair eliminates it — the same rule
+    :func:`incremental_minhash_dedup` applies batch-internally.  Chains
+    (A~B~C, A≁C) therefore keep the chain's least-prototypical end
+    rather than one element per connected component; feed the close
+    pairs to :func:`connected_components` when component-level
+    canonicalization is wanted.
+
+    Scale shape: the codebook broadcasts; assignment is the map-side
+    argmax aggregation; the ONLY corpus shuffle keys on ``list_id``
+    and the self-join fan-out is bounded by the largest cluster, which
+    the operator's k (|centroids|) controls — SemDeDup runs k ≈ √n or
+    larger precisely so clusters stay small.  A skewed giant cluster
+    is a codebook-quality problem (fix: retrain with larger k), not a
+    plan problem.
+    """
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _as_double_array,
+        _dot,
+        _norm,
+        cluster_assign,
+    )
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
+    )
+    asn = (
+        cluster_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            "list_id",
+            F.floor(F.col("c_sim") * 1000000)
+            .cast("long")
+            .alias("c_sim_e6"),
+        )
+        .join(v, "id")
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    a = asn.select(
+        F.col("id").alias("ia"), "list_id",
+        F.col("c_sim_e6").alias("ca"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = asn.select(
+        F.col("id").alias("ib"), "list_id",
+        F.col("c_sim_e6").alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    close = (
+        a.join(b, "list_id")
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "pair_e6",
+            F.floor(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 1000000
+            ).cast("long"),
+        )
+        .where(F.col("pair_e6") >= F.lit(int(threshold_e6)))
+        .select(
+            "ia", "ib", "ca", "cb",
+            # loser = higher (c_sim_e6, id): ties on the quantized
+            # centroid similarity eliminate the larger id
+            F.when(F.col("ca") > F.col("cb"), F.col("ia"))
+            .otherwise(F.col("ib"))
+            .alias("loser"),
+        )
+    )
+    part = close.select(F.col("ia").alias("id")).unionAll(
+        close.select(F.col("ib").alias("id"))
+    )
+    n_close = part.groupBy("id").agg(F.count(F.lit(1)).alias("n_close"))
+    losers = close.select(F.col("loser").alias("id")).distinct().withColumn(
+        "_lost", F.lit(1)
+    )
+    return (
+        asn.join(n_close, "id", "left")
+        .join(losers, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            "c_sim_e6",
+            F.coalesce(F.col("n_close"), F.lit(0))
+            .cast("long")
+            .alias("n_close"),
+            F.when(F.col("_lost").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("keep"),
+        )
+    )
+
+
 def substring_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

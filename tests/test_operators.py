@@ -1186,3 +1186,71 @@ def test_ivfpq_full_probe_equals_exhaustive_adc(spark):
     best = {r["query_id"]: r["dist_u"] for r in exp if r["rank"] == 1}
     for r in narrow:
         assert r["dist_u"] >= best[r["query_id"]]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup — cluster-then-dedup, r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup(spark, vecs, cents, thr=950000):
+    from memo_fraktur_ocr_code_spark.operators.dedup import semantic_dedup
+
+    v = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    c = spark.createDataFrame(cents, "list_id long, cv array<double>")
+    return {
+        r["vec_id"]: r.asDict()
+        for r in semantic_dedup(v, c, threshold_e6=thr).collect()
+    }
+
+
+def test_semantic_dedup_keeps_least_prototypical(spark):
+    """Two vectors close to each other in cluster 0: the one MORE
+    similar to the centroid loses (the paper keeps the least
+    prototypical member); a lone cluster-1 vector is untouched."""
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    vecs = [
+        (10, [1.0, 0.0, 0.0]),      # prototypical in c0 (c_sim = 1)
+        (11, [0.9, 0.1, 0.0]),      # near-dup of 10, lower c_sim
+        (12, [0.0, 1.0, 0.0]),      # alone in c1
+    ]
+    out = _semdedup(spark, vecs, cents)
+    assert out[10]["list_id"] == 0 and out[11]["list_id"] == 0
+    assert out[12] == {"vec_id": 12, "list_id": 1, "c_sim_e6": 1000000,
+                       "n_close": 0, "keep": 1}
+    assert (out[10]["n_close"], out[11]["n_close"]) == (1, 1)
+    assert out[10]["keep"] == 0      # higher c_sim -> loser
+    assert out[11]["keep"] == 1
+
+
+def test_semantic_dedup_chain_and_tie(spark):
+    """A~B and B~C but A!~C: pairwise dominance removes every pair
+    loser (keeps only the least-prototypical end of the chain); exact
+    duplicates tie on c_sim_e6 and eliminate the LARGER id."""
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.9, 0.3, 0.0, 0.0]
+    c = [0.7, 0.55, 0.0, 0.0]
+    out = _semdedup(spark, [(1, a), (2, b), (3, c)], cents, thr=940000)
+    # cos(a,b)=0.9487.. >= .94, cos(b,c)=0.9575.. >= .94, cos(a,c)=0.786
+    assert (out[1]["n_close"], out[2]["n_close"], out[3]["n_close"]) \
+        == (1, 2, 1)
+    # losers: pair(1,2) -> 1 (higher c_sim); pair(2,3) -> 2
+    assert (out[1]["keep"], out[2]["keep"], out[3]["keep"]) == (0, 0, 1)
+    # exact duplicates: same c_sim_e6, larger id loses
+    out2 = _semdedup(spark, [(5, a), (4, a)], cents)
+    assert out2[4]["keep"] == 1 and out2[5]["keep"] == 0
+
+
+def test_semantic_dedup_cluster_boundary_blindness(spark):
+    """Near-identical vectors assigned to DIFFERENT clusters are never
+    compared — the documented SemDeDup trade (recall bounded by the
+    clustering), pinned so a future 'fix' doesn't silently change
+    semantics."""
+    cents = [(0, [1.0, 0.0]), (1, [1.0, 0.05])]
+    # both vectors near the c0/c1 boundary, one on each side
+    out = _semdedup(spark, [(1, [1.0, 0.02]), (2, [1.0, 0.03])], cents,
+                    thr=900000)
+    assert out[1]["list_id"] != out[2]["list_id"]
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 1
+    assert out[1]["n_close"] == 0 and out[2]["n_close"] == 0

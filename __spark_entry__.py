@@ -4027,6 +4027,170 @@ ORDER BY canonical_url
 """
 
 
+# ---- code-fence + heading-outline extraction (r5 session 2) ----------
+# Transcript-payload extraction: agent turns interleave prose with
+# fenced code; pages carry a heading skeleton.  Both engines build the
+# same markdown-ish turn / HTML page around each document.
+
+
+def _q_code_blocks(spark, sf_dir):
+    """Fenced code-block extraction (extraction.extract_code_blocks):
+    every document becomes an agent-turn-shaped text with a language-
+    tagged fence (language cycling python/sql/bare by doc_id), every
+    7th document a second fence whose body is doc-derived, and every
+    5th+4 a trailing UNTERMINATED fence that must yield no row."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        extract_code_blocks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w1 = F.coalesce(F.get(toks, 0), F.lit("w"))
+    w2 = F.coalesce(F.get(toks, 1), F.lit("x"))
+    m = lambda k: (F.col("doc_id") % k).cast("int")  # noqa: E731
+    lang = (
+        F.when(m(3) == 0, F.lit("python"))
+        .when(m(3) == 1, F.lit("sql"))
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(
+        F.lit("assistant turn intro\n```"), lang,
+        F.lit("\nx = "), F.col("doc_id"),
+        F.lit("\nprint("), w1, F.lit(")\n```\nprose tail"),
+        F.when(
+            m(7) == 0,
+            F.concat(F.lit("\n```\n"), w2, F.lit(" literal\n```")),
+        ).otherwise(F.lit("")),
+        F.when(
+            m(5) == 4, F.lit("\n```py\nunterminated"),
+        ).otherwise(F.lit("")),
+    )
+    out = extract_code_blocks(d.select("doc_id", txt.alias("text")))
+    return out.select(
+        "id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        "lang",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "code",
+    ).orderBy("id", "block_idx")
+
+
+_DK_FENCE_RE = r"(?ms)^```([A-Za-z0-9_+.-]*)[ \t]*\n(.*?)^```[ \t]*$"
+
+_SQL_CODE_BLOCKS = f"""
+WITH t AS (
+  SELECT doc_id,
+         'assistant turn intro' || chr(10) || '```' ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'python'
+               WHEN doc_id % 3 = 1 THEN 'sql' ELSE '' END) ||
+         chr(10) || 'x = ' || doc_id || chr(10) || 'print(' ||
+         coalesce(string_split(coalesce(text, ''), ' ')[1], 'w') ||
+         ')' || chr(10) || '```' || chr(10) || 'prose tail' ||
+         (CASE WHEN doc_id % 7 = 0 THEN
+             chr(10) || '```' || chr(10) ||
+             coalesce(string_split(coalesce(text, ''), ' ')[2], 'x') ||
+             ' literal' || chr(10) || '```'
+          ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 4 THEN
+             chr(10) || '```py' || chr(10) || 'unterminated'
+          ELSE '' END) AS text
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_DK_FENCE_RE}', 1) AS langs,
+         regexp_extract_all(text, '{_DK_FENCE_RE}', 2) AS bodies
+  FROM t
+),
+e AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS block_idx,
+         nullif(langs[u.i], '') AS lang,
+         regexp_replace(bodies[u.i], '\\n\\z', '') AS code
+  FROM g, UNNEST(range(1, len(bodies) + 1)) AS u(i)
+)
+SELECT doc_id AS id, block_idx, lang,
+       (CASE WHEN length(code) = 0 THEN 0
+             ELSE length(code) - length(replace(code, chr(10), '')) + 1
+        END)::BIGINT AS n_lines,
+       code
+FROM e ORDER BY id, block_idx
+"""
+
+
+def _q_html_outline(spark, sf_dir):
+    """Heading-outline extraction (extraction.extract_outline): pages
+    with an h1 title, doc-word h2 sections, a mixed-case H3 every 3rd
+    doc, a script-embedded decoy heading (must not appear) and an
+    empty h6 every 4th doc (must appear with empty text)."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        extract_outline,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w1 = F.coalesce(F.get(toks, 0), F.lit("w"))
+    w2 = F.coalesce(F.get(toks, 1), F.lit("x"))
+    m = lambda k: (F.col("doc_id") % k).cast("int")  # noqa: E731
+    html = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id"), F.lit("</h1><p>pp</p>"),
+        F.lit('<h2 class="s">'), w1, F.lit(" &amp; "), w2,
+        F.lit("</h2>"),
+        F.when(
+            m(3) == 0,
+            F.concat(F.lit("<H3>"), w2, F.lit(" sub</H3>")),
+        ).otherwise(F.lit("")),
+        F.lit("<script>var t = '<h4>decoy</h4>';</script>"),
+        F.when(m(4) == 0, F.lit("<h6></h6>")).otherwise(F.lit("")),
+    )
+    out = extract_outline(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("level").cast("long").alias("level"),
+        "heading",
+    ).orderBy("id", "pos")
+
+
+_SQL_HTML_OUTLINE = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '<h1>Doc ' || doc_id || '</h1><p>pp</p><h2 class="s">' ||
+         coalesce(string_split(coalesce(text, ''), ' ')[1], 'w') ||
+         ' &amp; ' ||
+         coalesce(string_split(coalesce(text, ''), ' ')[2], 'x') ||
+         '</h2>' ||
+         (CASE WHEN doc_id % 3 = 0 THEN '<H3>' ||
+             coalesce(string_split(coalesce(text, ''), ' ')[2], 'x') ||
+             ' sub</H3>' ELSE '' END) ||
+         '<script>var t = ''<h4>decoy</h4>'';</script>' ||
+         (CASE WHEN doc_id % 4 = 0 THEN '<h6></h6>' ELSE '' END)
+             AS html
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+             '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS h
+  FROM pages
+),
+g AS (
+  SELECT doc_id,
+         regexp_extract_all(h,
+             '(?is)<h([1-6])\\b[^>]*>(.*?)</h[1-6]>', 1) AS lvls,
+         regexp_extract_all(h,
+             '(?is)<h([1-6])\\b[^>]*>(.*?)</h[1-6]>', 2) AS bodies
+  FROM c
+)
+SELECT doc_id AS id, CAST(u.i - 1 AS BIGINT) AS pos,
+       CAST(lvls[u.i] AS BIGINT) AS level,
+       {_dk_vis('bodies[u.i]')} AS heading
+FROM g, UNNEST(range(1, len(bodies) + 1)) AS u(i)
+ORDER BY id, pos
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -4204,6 +4368,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: SemDeDup — cluster-then-dedup semantic near-dup
         # removal over the trained codebook (planted copies/perturbations)
         "semantic_dedup": _q_semantic_dedup,
+        # r5 session 2: transcript/code-fence + heading-outline extraction
+        "code_blocks": _q_code_blocks,
+        "html_outline": _q_html_outline,
     }
 
 
@@ -4288,4 +4455,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": _SQL_EXTRACT_LINKS,
         "url_dedup": _SQL_URL_DEDUP,
         "semantic_dedup": _sql_semantic_dedup(),
+        "code_blocks": _SQL_CODE_BLOCKS,
+        "html_outline": _SQL_HTML_OUTLINE,
     }

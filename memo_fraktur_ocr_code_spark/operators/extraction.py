@@ -2,7 +2,7 @@
 ("HTML boilerplate strip, PDF/layout parse, DOM heuristics") as
 engine-portable Spark operators.
 
-Four operators:
+Six operators:
 
 * :func:`extract_main_content` — HTML → main text via the public
   boilerpipe / JusText heuristic family (Kohlschütter et al. WSDM'10;
@@ -28,6 +28,15 @@ Four operators:
   sort the surviving query parameters.  :func:`registered_domain`
   extracts the naive eTLD+1 (small built-in multi-label suffix list —
   a full public-suffix list is a data file, not an algorithm change).
+
+* :func:`extract_code_blocks` — fenced ```lang``` code blocks out of
+  markdown-ish text, the transcript-payload analog of main-content
+  extraction: agent turns interleave prose with code, and training
+  pipelines route the two through different quality/dedup stages.
+
+* :func:`extract_outline` — the ``<h1>``–``<h6>`` heading hierarchy
+  of an HTML page in document order (level, position, text): the
+  structural skeleton section-aware chunkers and TOC builders key on.
 
 * :func:`layout_reading_order` — the PDF/layout-parse analog over a
   typed layout-block table ``(doc, page, block, x0, y0, x1, y1,
@@ -253,6 +262,115 @@ def extract_links(
             visible_text(body).alias("anchor_text"),
         )
         .where(F.col("href").isNotNull())
+    )
+
+
+#: Fenced code block: opening fence at line start with an optional
+#: language token, body up to the next line-initial closing fence.
+#: ``(?ms)`` so ``^`` anchors lines and ``.`` crosses them — both
+#: inline flags are Java-regex ∩ RE2.  Unterminated fences match
+#: nothing (honest: a truncated turn yields no half-block).
+CODE_FENCE_RE = r"(?ms)^```([A-Za-z0-9_+.-]*)[ \t]*\n(.*?)^```[ \t]*$"
+
+#: HTML headings.  The close tag matches any ``</h1>``–``</h6>`` —
+#: tying it to the opening level needs a backreference, which RE2
+#: lacks; mismatched-level closes (invalid HTML) end the heading early,
+#: a documented tolerance.
+HEADING_RE = r"(?is)<h([1-6])\b[^>]*>(.*?)</h[1-6]>"
+
+
+def _zip_groups(col: Column, pattern: str) -> Column:
+    """Array of (g1, g2) structs for every match of a 2-group pattern —
+    two ``regexp_extract_all`` passes zipped by index, because a single
+    pass extracts only one group per match (the same recipe the DuckDB
+    oracle uses, so group pairing is identical by construction)."""
+    return F.arrays_zip(
+        F.regexp_extract_all(col, F.lit(pattern), F.lit(1)).alias("g1"),
+        F.regexp_extract_all(col, F.lit(pattern), F.lit(2)).alias("g2"),
+    )
+
+
+def extract_code_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode markdown-ish text into its fenced code blocks.
+
+    The transcript analog of :func:`extract_main_content`: agent turns
+    interleave prose with ```lang fenced code, and a training pipeline
+    routes code through different dedup/quality stages than prose
+    (code-specific near-dup, license scanning, language-binned mixing).
+
+    One row per fence, ``(id, block_idx, lang, n_lines, code)``:
+
+    * ``block_idx`` — 0-based fence index within the document;
+    * ``lang`` — the info token after the opening fence, NULL when
+      absent (bare ```-fence);
+    * ``n_lines`` — newline-separated line count of the body;
+    * ``code`` — the body verbatim, trailing fence newline excluded.
+
+    Exploded child table like :func:`extract_links` (documents without
+    fences emit nothing); zero shuffle, scan-speed regex.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    pairs = _zip_groups(t, CODE_FENCE_RE)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("block_idx", "_m"),
+    )
+    # body keeps its trailing newline (the one before the close fence);
+    # strip exactly that one so `code` round-trips cleanly.  \z, not $:
+    # Java's $ also matches BEFORE a final line terminator, so `\n$` on
+    # a body ending in an empty line ("x\n\n") would strip both
+    # newlines; RE2's $ would strip one — \z (end of input, both
+    # engines) removes exactly the terminator
+    code = F.regexp_replace(F.col("_m.g2"), r"\n\z", "")
+    return exploded.select(
+        "id",
+        "block_idx",
+        F.nullif(F.col("_m.g1"), F.lit("")).alias("lang"),
+        F.when(F.length(code) == 0, F.lit(0))
+        .otherwise(
+            F.length(code)
+            - F.length(F.regexp_replace(code, r"\n", ""))
+            + F.lit(1)
+        )
+        .alias("n_lines"),
+        code.alias("code"),
+    )
+
+
+def extract_outline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Explode an HTML page into its heading hierarchy.
+
+    ``(id, pos, level, heading)`` — one row per ``<h1>``–``<h6>`` in
+    document order; ``level`` is the digit, ``heading`` the
+    :func:`visible_text` of the element body.  Only ``script``/
+    ``style``/comments are stripped first (a heading inside ``header``
+    or ``nav`` is still structure — boilerplate JUDGMENT belongs to
+    :func:`extract_main_content`, not the outline).  Empty headings
+    (no visible text) are kept: a TOC builder needs the position even
+    when the text is an image.
+    """
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    for tag in ("script", "style"):
+        h = _strip_subtree(h, tag)
+    pairs = _zip_groups(h, HEADING_RE)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(pairs).alias("pos", "_m"),
+    )
+    return exploded.select(
+        "id",
+        "pos",
+        F.col("_m.g1").cast("int").alias("level"),
+        visible_text(F.col("_m.g2")).alias("heading"),
     )
 
 

@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from memo_fraktur_ocr_code_spark.operators.extraction import (
     canonicalize_url,
+    extract_code_blocks,
     extract_links,
     extract_main_content,
+    extract_outline,
     layout_reading_order,
     registered_domain,
 )
@@ -173,6 +175,57 @@ def test_registered_domain_suffixes(spark):
            df.select(registered_domain(F.col("h")).alias("rd")).collect()]
     assert out == ["example.co.uk", "example.com", "example.com",
                    "co.uk", "192.168.0.1", "localhost"]
+
+
+def test_extract_code_blocks(spark):
+    txt = (
+        "intro\n```python\ndef f():\n    return 1\n```\nmid\n"
+        "```\nplain\n```\n"
+        "inline ```not a fence``` stays prose\n"
+        "```sql  \nSELECT 1;\n```\n"
+        "```\n```\n"  # empty body
+        "```toml\nk = 1\n\n```"  # trailing EMPTY line must survive
+    )
+    df = spark.createDataFrame(
+        [(1, txt), (2, "no fences"), (3, None),
+         (4, "```py\nunterminated tail")],
+        "doc_id long, text string",
+    )
+    rows = [r.asDict() for r in
+            extract_code_blocks(df).orderBy("id", "block_idx").collect()]
+    assert rows == [
+        {"id": 1, "block_idx": 0, "lang": "python", "n_lines": 2,
+         "code": "def f():\n    return 1"},
+        {"id": 1, "block_idx": 1, "lang": None, "n_lines": 1,
+         "code": "plain"},
+        {"id": 1, "block_idx": 2, "lang": "sql", "n_lines": 1,
+         "code": "SELECT 1;"},
+        {"id": 1, "block_idx": 3, "lang": None, "n_lines": 0,
+         "code": ""},
+        # \z strip: only the fence's own terminator goes — the body's
+        # final empty line stays (Java's $ would eat both newlines)
+        {"id": 1, "block_idx": 4, "lang": "toml", "n_lines": 2,
+         "code": "k = 1\n"},
+    ]  # fence-less, NULL and unterminated docs emit nothing
+
+
+def test_extract_outline(spark):
+    html = (
+        "<h1>Top</h1><p>body</p><h2 class='x'>Se&amp;c <b>two</b></h2>"
+        "<script>var h = '<h3>not real</h3>';</script>"
+        "<H3>cased</H3><h6></h6>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)],
+                               "doc_id long, html string")
+    rows = [r.asDict() for r in
+            extract_outline(df).orderBy("id", "pos").collect()]
+    assert rows == [
+        {"id": 1, "pos": 0, "level": 1, "heading": "Top"},
+        {"id": 1, "pos": 1, "level": 2, "heading": "Se&c two"},
+        {"id": 1, "pos": 2, "level": 3, "heading": "cased"},
+        # empty heading kept: position matters even with no text
+        {"id": 1, "pos": 3, "level": 6, "heading": ""},
+    ]
 
 
 _COLS = ("doc_id long, page long, block_id long, x0 long, y0 long,"

@@ -75,6 +75,11 @@ HEADLINE = [
     "dedup_substring",
     "pq_adc_topk",
     "ivfpq_topk",
+    # r5 session 2: web-graph extraction + SemDeDup + transcript fences
+    "extract_links",
+    "url_dedup",
+    "semantic_dedup",
+    "code_blocks",
 ]
 
 

@@ -4191,6 +4191,52 @@ ORDER BY id, pos
 """
 
 
+def _q_chunk_sliding(spark, sf_dir):
+    """Sliding-window RAG chunking (curation.chunk_sliding_tokens):
+    32-token windows, 8-token overlap (stride 24) over the documents
+    table — covered-tail windows suppressed, empty docs emit nothing."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        chunk_sliding_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_sliding_tokens(d, chunk_tokens=32, overlap=8)
+    return out.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "chunk_text",
+    ).orderBy("id", "chunk_idx")
+
+
+_SQL_CHUNK_SLIDING = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                     '\\s+'), tk -> tk <> '') AS ts
+  FROM documents
+),
+s AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+st AS (
+  SELECT doc_id, ts, n, u.s AS start_tok
+  FROM s, UNNEST(range(0, n, 24)) AS u(s)
+  WHERE u.s = 0 OR u.s + 8 < n
+),
+c AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY start_tok) - 1 AS chunk_idx,
+         start_tok, ts[start_tok + 1 : start_tok + 32] AS w
+  FROM st
+)
+SELECT doc_id AS id, chunk_idx::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok, len(w)::BIGINT AS n_tok,
+       array_to_string(w, ' ') AS chunk_text
+FROM c ORDER BY id, chunk_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -4371,6 +4417,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: transcript/code-fence + heading-outline extraction
         "code_blocks": _q_code_blocks,
         "html_outline": _q_html_outline,
+        # r5 session 2: overlapping sliding-window RAG chunking
+        "chunk_sliding": _q_chunk_sliding,
     }
 
 
@@ -4457,4 +4505,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "code_blocks": _SQL_CODE_BLOCKS,
         "html_outline": _SQL_HTML_OUTLINE,
+        "chunk_sliding": _SQL_CHUNK_SLIDING,
     }

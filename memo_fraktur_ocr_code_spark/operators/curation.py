@@ -486,3 +486,69 @@ def strip_boilerplate_lines(
         )
     )
     return out
+
+
+def chunk_sliding_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Overlapping sliding-window token chunks — the RAG/context-window
+    chunker (fixed-size windows with an overlap so no span is split
+    across a boundary without also appearing whole in a neighbor),
+    complementing W4's non-overlapping 250-token chunking
+    (textspec.with_chunk_key).
+
+    One row per chunk, ``(id, chunk_idx, start_tok, n_tok,
+    chunk_text)``:
+
+    * window starts step by ``stride = chunk_tokens - overlap``;
+    * a start ``s > 0`` is emitted only while ``s + overlap < n_tok``:
+      a window whose tokens are ALL inside the previous one (the tail
+      fully covered by overlap) is suppressed, so the last chunk is
+      the first one reaching the document's end;
+    * tokens are the whitespace-split non-empty words; documents with
+      zero tokens (empty/NULL text) emit no rows — exploded child
+      table like `extraction.extract_links`.
+
+    Scale shape: one generate + project per document, no shuffle; the
+    output size is the token count times ``chunk_tokens/stride`` (the
+    overlap amplification, stated — e.g. 128/96 ≈ 1.33×), and the
+    chunk id ``(id, chunk_idx)`` is stable under re-partitioning, so
+    downstream embedding/dedup stages can key on it.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size(toks)
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case
+    # before building the start grid
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride)))
+    starts = F.filter(
+        starts,
+        lambda s: (s == 0) | (s + F.lit(int(overlap)) < n),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(toks, s + 1, F.lit(int(chunk_tokens))).alias("w"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    )
+    return exploded.select(
+        "id",
+        "chunk_idx",
+        F.col("_c.start_tok").alias("start_tok"),
+        F.size("_c.w").alias("n_tok"),
+        F.array_join("_c.w", " ").alias("chunk_text"),
+    )

@@ -620,3 +620,62 @@ def test_decontaminate_join_is_unhinted_aqe_decides(spark):
     assert "BroadcastHashJoin" not in plan_s  # shuffle path taken
     assert rows_s == rows_b
     assert rows_b[0] == (1, 1) and rows_b[1] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_sliding_tokens_grid(spark):
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        chunk_sliding_tokens,
+    )
+
+    txt = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, txt), (2, "a  b"), (3, ""), (4, None), (5, "solo")],
+        "doc_id long, text string",
+    )
+    rows = [r.asDict() for r in
+            chunk_sliding_tokens(df, chunk_tokens=4, overlap=2)
+            .orderBy("id", "chunk_idx").collect()]
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    # starts step by stride=2; start 8 suppressed (8+overlap == n: its
+    # tokens are fully inside the 6..9 chunk)
+    assert [(r["start_tok"], r["n_tok"]) for r in by_id[1]] == [
+        (0, 4), (2, 4), (4, 4), (6, 4)]
+    assert by_id[1][1]["chunk_text"] == "t2 t3 t4 t5"
+    # short doc -> one whole-doc chunk; multi-space splits collapse
+    assert by_id[2] == [{"id": 2, "chunk_idx": 0, "start_tok": 0,
+                         "n_tok": 2, "chunk_text": "a b"}]
+    assert by_id[5][0]["chunk_text"] == "solo"
+    # empty and NULL docs emit nothing (exploded child table)
+    assert 3 not in by_id and 4 not in by_id
+    # every token index is covered by some chunk
+    covered = set()
+    for r in by_id[1]:
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+    assert covered == set(range(10))
+
+
+def test_chunk_sliding_tokens_guards(spark):
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        chunk_sliding_tokens,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_sliding_tokens(df, chunk_tokens=8, overlap=8)
+    # exact multiple: last window reaches the end, no phantom tail
+    rows = chunk_sliding_tokens(
+        spark.createDataFrame(
+            [(1, " ".join(str(i) for i in range(8)))],
+            "doc_id long, text string"),
+        chunk_tokens=4, overlap=0,
+    ).collect()
+    assert [(r["start_tok"], r["n_tok"]) for r in rows] == [(0, 4), (4, 4)]

@@ -4237,6 +4237,115 @@ FROM c ORDER BY id, chunk_idx
 """
 
 
+# ---- BPE tokenizer training (r5 session 2) ---------------------------
+# Distributed merge learning over the word-frequency table
+# (operators/bpe.py, Sennrich et al. 2016) with the merge rounds
+# UNROLLED in SQL exactly like the Lloyd prefix: each round is a
+# pair-count CTE, an argmax CTE and a list_reduce application CTE.
+
+_BPE_N_MERGES = 12
+
+
+def _sql_bpe_prefix(n_merges: int = _BPE_N_MERGES) -> tuple[str, str]:
+    """Returns ``(prefix, final_syms_cte)``: ``prefix`` defines ``wtab``
+    (word counts), ``s0`` (char symbols + ``</w>``) and per-round CTEs
+    ``p{i}``/``b{i}``/``s{i}``.  The greedy left-to-right merge pass is
+    a ``list_reduce`` string fold: a trailing symbol equal to the
+    round's LEFT (checked with a separator-anchored suffix — never a
+    substring match) followed by RIGHT concatenates in place."""
+    cte = ""
+    prev = "s0"
+    for i in range(1, n_merges + 1):
+        # the round's argmax pair rides in via CROSS JOIN (one row) —
+        # DuckDB lambdas accept row columns but NOT subqueries
+        cte += f""",
+p{i} AS MATERIALIZED (
+  SELECT s.syms[u.i] AS l, s.syms[u.i + 1] AS r,
+         sum(s.wc)::BIGINT AS cnt
+  FROM {prev} s, UNNEST(range(1, len(s.syms))) AS u(i)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT s.word, s.wc,
+         string_split(list_reduce(s.syms, (acc, x) ->
+             CASE WHEN x = b.r
+                       AND (acc = b.l
+                            OR ends_with(acc, chr(31) || b.l))
+                  THEN acc || x
+                  ELSE acc || chr(31) || x END), chr(31)) AS syms
+  FROM {prev} s CROSS JOIN b{i} b)"""
+        prev = f"s{i}"
+    prefix = f"""
+WITH wtab AS (
+  SELECT tok AS word, count(*)::BIGINT AS wc
+  FROM (SELECT unnest(list_filter(string_split_regex(
+            trim(coalesce(text, '')), '\\s+'), t -> t <> '')) AS tok
+        FROM documents) GROUP BY tok),
+s0 AS (
+  SELECT word, wc, list_append(string_split(word, ''), '</w>') AS syms
+  FROM wtab){cte}"""
+    return prefix, prev
+
+
+def _q_bpe_train(spark, sf_dir):
+    """BPE merge-table learning (bpe.bpe_train): 12 rounds over the
+    documents word-frequency table, deterministic
+    (count DESC, left, right) argmax per round."""
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        BPE_MERGE_SCHEMA,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(merges, BPE_MERGE_SCHEMA).orderBy(
+        "merge_idx"
+    )
+
+
+def _sql_bpe_train(n_merges: int = _BPE_N_MERGES) -> str:
+    prefix, _ = _sql_bpe_prefix(n_merges)
+    rows = "\nUNION ALL\n".join(
+        f'SELECT {i - 1}::BIGINT AS merge_idx, l AS "left",'
+        f' r AS "right", l || r AS merged, cnt AS pair_count FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return f"{prefix}\n{rows}\nORDER BY merge_idx\n"
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE vocabulary encoding (bpe.bpe_encode_words — the Arrow
+    encoder): every distinct document word encoded with the learned
+    12-merge table.  The oracle carries each word through the SAME 12
+    unrolled list_reduce rounds — two independent implementations of
+    the greedy pass checked word-for-word."""
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_N_MERGES)
+    vocab = word_counts(d).select("word")
+    out = bpe_encode_words(vocab, merges)
+    return out.select(
+        "word",
+        F.array_join("bpe_syms", " ").alias("encoded"),
+        F.col("n_syms").cast("long").alias("n_syms"),
+    ).orderBy("word")
+
+
+def _sql_bpe_encode(n_merges: int = _BPE_N_MERGES) -> str:
+    prefix, final = _sql_bpe_prefix(n_merges)
+    return f"""{prefix}
+SELECT word, array_to_string(syms, ' ') AS encoded,
+       len(syms)::BIGINT AS n_syms
+FROM {final} ORDER BY word
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -4419,6 +4528,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outline": _q_html_outline,
         # r5 session 2: overlapping sliding-window RAG chunking
         "chunk_sliding": _q_chunk_sliding,
+        # r5 session 2: distributed BPE tokenizer training + encoding
+        "bpe_train_merges": _q_bpe_train,
+        "bpe_encode_words": _q_bpe_encode,
     }
 
 
@@ -4506,4 +4618,6 @@ def oracle_sql() -> dict[str, str]:
         "code_blocks": _SQL_CODE_BLOCKS,
         "html_outline": _SQL_HTML_OUTLINE,
         "chunk_sliding": _SQL_CHUNK_SLIDING,
+        "bpe_train_merges": _sql_bpe_train(),
+        "bpe_encode_words": _sql_bpe_encode(),
     }

@@ -1254,3 +1254,91 @@ def test_semantic_dedup_cluster_boundary_blindness(spark):
     assert out[1]["list_id"] != out[2]["list_id"]
     assert out[1]["keep"] == 1 and out[2]["keep"] == 1
     assert out[1]["n_close"] == 0 and out[2]["n_close"] == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_hand_computed(spark):
+    """Sennrich-style corpus with hand-checkable counts: 5x 'low',
+    2x 'newer', ... — the first merges must be the highest-count
+    pairs under the (count DESC, left, right) total order."""
+    from memo_fraktur_ocr_code_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low newer newer new")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=3)
+    # pair counts round 1: (l,o)=5, (o,w)=5, (w,</w>)=6, (n,e)=3,
+    # (e,w)=3, (w,e)=2, (e,r)=2, (r,</w>)=2 -> best (w,</w>)
+    assert merges[0] == (0, "w", "</w>", "w</w>", 6)
+    # round 2: (o,w</w>)=5, (l,o)=5 tie at 5 -> left asc: (l,o)
+    assert merges[1] == (1, "l", "o", "lo", 5)
+    # round 3: (lo,w</w>)=5
+    assert merges[2] == (2, "lo", "w</w>", "low</w>", 5)
+
+
+def test_bpe_overlap_greedy_left_first(spark):
+    """'aaaa' with merge (a,a): greedy left-to-right gives aa+aa, and
+    the pair count includes overlapping occurrences (reference
+    get_stats counts every adjacent index)."""
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")],
+                               "doc_id long, text string")
+    merges = bpe_train(df, n_merges=2)
+    assert merges[0][:4] == (0, "a", "a", "aa") and merges[0][4] == 9
+    # round 2 on [aa,aa,</w>]: (aa,aa)=3 ties (aa,</w>)=3 and
+    # '</w>' < 'aa' in byte order -> merge (aa,</w>)
+    assert merges[1][:4] == (1, "aa", "</w>", "aa</w>")
+    w = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    enc = {r["word"]: r["bpe_syms"]
+           for r in bpe_encode_words(w, merges).collect()}
+    assert enc["aaaa"] == ["aa", "aa</w>"]
+    assert enc["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_encoder_matches_trainer_folds(spark):
+    """The Arrow encoder (Python loop) must equal a chained Catalyst
+    _merge_fold application of the same merges — two independent
+    implementations of the greedy pass."""
+    from pyspark.sql import functions as F
+
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        _merge_fold,
+        bpe_encode_words,
+        bpe_train,
+        word_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab banana cabal aa bb abba banana abab")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=5)
+    vocab = word_counts(df).select("word")
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>")))
+    for _, left, right, _, _ in merges:
+        syms = _merge_fold(syms, left, right)
+    catalyst = {r["word"]: r["s"]
+                for r in vocab.select("word", syms.alias("s")).collect()}
+    arrow = {r["word"]: r["bpe_syms"]
+             for r in bpe_encode_words(vocab, merges).collect()}
+    assert catalyst == arrow and len(catalyst) == 6
+
+
+def test_bpe_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(1, ""), (2, None)],
+                               "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_train(df, n_merges=2)

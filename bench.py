@@ -80,6 +80,10 @@ HEADLINE = [
     "url_dedup",
     "semantic_dedup",
     "code_blocks",
+    "html_outline",
+    # r5 session 2: RAG chunking + distributed BPE tokenizer training
+    "chunk_sliding",
+    "bpe_train_merges",
 ]
 
 

@@ -2759,7 +2759,10 @@ def _q_bigram_lm(spark, sf_dir):
     )
 
 
-_SQL_BIGRAM_LM = f"""
+#: Shared CTE chain ending in ``scored(doc_id, n_pairs, lm_ppm)`` —
+#: used by both the bigram-LM score oracle and the quantile-bucket
+#: oracle so the two can never desynchronize on the score definition.
+_SQL_LM_SCORED_CTES = f"""
 WITH d AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
 pairs AS (
   SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
@@ -2772,10 +2775,55 @@ sp AS (SELECT doc_id, cb * 1000000 // cu AS ppm
        FROM pairs JOIN bg USING (w1, w2) JOIN uni USING (w1)),
 pd AS (SELECT doc_id, count(*) AS n_pairs,
               (sum(ppm) // count(*))::BIGINT AS lm_ppm
-       FROM sp GROUP BY doc_id)
-SELECT d.doc_id, coalesce(n_pairs, 0) AS n_pairs,
-       coalesce(lm_ppm, 0)::BIGINT AS lm_ppm
-FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id
+       FROM sp GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, coalesce(n_pairs, 0) AS n_pairs,
+         coalesce(lm_ppm, 0)::BIGINT AS lm_ppm
+  FROM d LEFT JOIN pd USING (doc_id))"""
+
+_SQL_BIGRAM_LM = f"""{_SQL_LM_SCORED_CTES}
+SELECT doc_id, n_pairs, lm_ppm FROM scored ORDER BY doc_id
+"""
+
+
+def _q_lm_quantile_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3) built from the exact rank-quantile primitive
+    (curation.quantile_cuts): tertile cuts over the corpus-trained
+    bigram-LM score, every document labeled by ``score >= cut`` with
+    boundary ties landing in the higher bucket.  The corpus-sized work
+    is one bounded histogram aggregation — never a global sort."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        assign_quantile_buckets,
+        quantile_cuts,
+    )
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        bigram_lm_score,
+    )
+
+    scored = bigram_lm_score(_t(spark, sf_dir, "documents"))
+    cuts = quantile_cuts(scored, "lm_ppm", fracs_bp=[3333, 6667])
+    out = assign_quantile_buckets(
+        scored, "lm_ppm", cuts, labels=["head", "middle", "tail"]
+    )
+    return out.select("doc_id", "lm_ppm", "bucket").orderBy("doc_id")
+
+
+_SQL_LM_QUANTILE_BUCKETS = f"""{_SQL_LM_SCORED_CTES},
+h AS (SELECT lm_ppm AS s, count(*)::BIGINT AS c FROM scored GROUP BY s),
+cum AS (SELECT s, sum(c) OVER (ORDER BY s DESC) AS cge FROM h),
+tot AS (SELECT sum(c)::BIGINT AS n FROM h),
+-- cut(f) = score of the rank-ceil(f*n/10000) doc sorted DESC
+--        = max s with count(score >= s) >= rank; ceil via (+9999)//10000
+c1 AS (SELECT max(s) AS cut FROM cum, tot
+       WHERE cge >= (3333 * n + 9999) // 10000),
+c2 AS (SELECT max(s) AS cut FROM cum, tot
+       WHERE cge >= (6667 * n + 9999) // 10000)
+SELECT doc_id, lm_ppm,
+       CASE WHEN lm_ppm >= (SELECT cut FROM c1) THEN 'head'
+            WHEN lm_ppm >= (SELECT cut FROM c2) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored ORDER BY doc_id
 """
 
 
@@ -4531,6 +4579,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: distributed BPE tokenizer training + encoding
         "bpe_train_merges": _q_bpe_train,
         "bpe_encode_words": _q_bpe_encode,
+        # r5 session 2: exact rank-quantile thresholds -> CCNet tertiles
+        "lm_quantile_buckets": _q_lm_quantile_buckets,
     }
 
 
@@ -4620,4 +4670,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_sliding": _SQL_CHUNK_SLIDING,
         "bpe_train_merges": _sql_bpe_train(),
         "bpe_encode_words": _sql_bpe_encode(),
+        "lm_quantile_buckets": _SQL_LM_QUANTILE_BUCKETS,
     }

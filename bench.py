@@ -84,6 +84,8 @@ HEADLINE = [
     # r5 session 2: RAG chunking + distributed BPE tokenizer training
     "chunk_sliding",
     "bpe_train_merges",
+    # r5 session 2: exact rank-quantile CCNet tertile bucketing
+    "lm_quantile_buckets",
 ]
 
 

@@ -552,3 +552,108 @@ def chunk_sliding_tokens(
         F.size("_c.w").alias("n_tok"),
         F.array_join("_c.w", " ").alias("chunk_text"),
     )
+
+
+def quantile_cuts(
+    df: DataFrame,
+    score_col: str,
+    fracs_bp: list[int],
+    max_bins: int = 1_000_001,
+) -> list[int]:
+    """EXACT rank quantile cut values over an integer score column —
+    the percentile-thresholding primitive behind "keep the top X% by
+    quality score" filters and CCNet's perplexity head/middle/tail
+    bucketing (Wenzek et al. 2020, arXiv:1911.00359 §4.3).
+
+    For each fraction ``f`` (basis points, ascending, 0 < f ≤ 10000)
+    the cut is the score of the rank-``ceil(f·N/10000)`` document when
+    the corpus is sorted by score DESCENDING — equivalently
+    ``max{s : count(score ≥ s) ≥ r}``.  Ties share the cut score, so a
+    ``score ≥ cut`` filter keeps AT LEAST the requested fraction and
+    never splits equal-scored documents arbitrarily.  Integer-exact:
+    no interpolation, no doubles — two engines (or two partitionings)
+    always compute identical cuts.
+
+    Scale shape: this is NOT a global sort (``percent_rank`` over the
+    corpus would single-partition 100 TB).  The corpus-sized work is
+    ONE histogram aggregation ``groupBy(score).count()`` with map-side
+    combine, whose output is bounded by the score DOMAIN, not the
+    corpus: quality signals in this repo are quantized integers by
+    design (bp ≤ 10001 distinct, ppm ≤ 1000001).  The driver then
+    walks the collected histogram — a bounded driver action of the
+    same class as the whale router's whale pick and the k-means
+    codebook.  ``max_bins`` enforces the premise: a column wider than
+    the budget raises instead of silently flooding the driver
+    (pre-quantize, e.g. ``ppm DIV 100``, and rerun).
+
+    Returns the cut list parallel to ``fracs_bp`` (non-increasing).
+    """
+    if not fracs_bp or any(
+        not (0 < f <= 10000) for f in fracs_bp
+    ) or list(fracs_bp) != sorted(set(fracs_bp)):
+        raise ValueError(
+            "fracs_bp must be strictly ascending basis points in (0, 10000]"
+        )
+    dtype = dict(df.dtypes).get(score_col)
+    if dtype not in ("int", "bigint", "smallint", "tinyint"):
+        raise TypeError(
+            f"quantile_cuts needs an integer score column, got {dtype};"
+            " quantize (bp/ppm) first"
+        )
+    hist = (
+        df.groupBy(F.col(score_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(max_bins + 1)
+        .collect()
+    )
+    if not hist:
+        raise ValueError("quantile_cuts: empty input")
+    if len(hist) > max_bins:
+        raise ValueError(
+            f"quantile_cuts: > {max_bins} distinct scores — quantize the"
+            " column before thresholding"
+        )
+    if any(r["s"] is None for r in hist):
+        raise ValueError("quantile_cuts: NULL scores present")
+    total = sum(r["c"] for r in hist)
+    cuts: list[int] = []
+    by_score_desc = sorted(hist, key=lambda r: -r["s"])
+    for f in fracs_bp:
+        rank = (f * total + 9999) // 10000
+        cum = 0
+        cut = by_score_desc[-1]["s"]
+        for r in by_score_desc:
+            cum += r["c"]
+            if cum >= rank:
+                cut = r["s"]
+                break
+        cuts.append(int(cut))
+    return cuts
+
+
+def assign_quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    cuts: list[int],
+    labels: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Label every row with its quantile bucket given :func:`quantile_cuts`
+    output: bucket ``i`` is ``score ≥ cuts[i]`` (first match wins, so a
+    boundary tie lands in the HIGHER bucket), the final label is the
+    remainder.  ``len(labels) == len(cuts) + 1``.  Narrow CASE
+    projection — zero shuffle at any corpus size; heavy ties can leave
+    an interior bucket empty (two equal cuts), which is the
+    deterministic outcome, not an error."""
+    if labels is None:
+        labels = [f"q{i}" for i in range(len(cuts) + 1)]
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(cuts) + 1 labels")
+    if list(cuts) != sorted(cuts, reverse=True):
+        raise ValueError("cuts must be non-increasing (from quantile_cuts)")
+    expr = F.lit(labels[-1])
+    for cut, label in reversed(list(zip(cuts, labels[:-1]))):
+        expr = F.when(
+            F.col(score_col) >= F.lit(int(cut)), F.lit(label)
+        ).otherwise(expr)
+    return df.withColumn(bucket_col, expr)

@@ -679,3 +679,88 @@ def test_chunk_sliding_tokens_guards(spark):
         chunk_tokens=4, overlap=0,
     ).collect()
     assert [(r["start_tok"], r["n_tok"]) for r in rows] == [(0, 4), (4, 4)]
+
+
+# ---------------------------------------------------------------------------
+# Exact rank-quantile thresholds + bucket assignment (r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_cuts_hand_computed_with_ties(spark):
+    """scores [10,9,9,8,1], tertiles: rank(3333bp)=ceil(1.67)=2 ->
+    cut=9 (count>=9 is 3>=2, count>=10 is 1); rank(6667bp)=ceil(3.33)=4
+    -> cut=8.  Tie at 9 must land whole in the higher bucket."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        assign_quantile_buckets,
+        quantile_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([10, 9, 9, 8, 1])],
+        "id long, score long",
+    )
+    cuts = quantile_cuts(df, "score", fracs_bp=[3333, 6667])
+    assert cuts == [9, 8]
+    out = {
+        r["id"]: r["bucket"]
+        for r in assign_quantile_buckets(
+            df, "score", cuts, labels=["head", "middle", "tail"]
+        ).collect()
+    }
+    assert out == {0: "head", 1: "head", 2: "head", 3: "middle", 4: "tail"}
+
+
+def test_quantile_cuts_full_fraction_is_min_score(spark):
+    from memo_fraktur_ocr_code_spark.operators.curation import quantile_cuts
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([5, 3, 3, 1])], "id long, score long"
+    )
+    assert quantile_cuts(df, "score", fracs_bp=[10000]) == [1]
+    # top-quarter: rank=1 -> the max score
+    assert quantile_cuts(df, "score", fracs_bp=[2500]) == [5]
+
+
+def test_quantile_cuts_validation(spark):
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        assign_quantile_buckets,
+        quantile_cuts,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "id long, score long")
+    with _pytest.raises(ValueError):  # descending fracs
+        quantile_cuts(df, "score", fracs_bp=[6667, 3333])
+    with _pytest.raises(ValueError):  # out of range
+        quantile_cuts(df, "score", fracs_bp=[0])
+    with _pytest.raises(ValueError):  # empty input
+        quantile_cuts(df.where("id < 0"), "score", fracs_bp=[5000])
+    with _pytest.raises(TypeError):  # non-integer score
+        quantile_cuts(
+            df.select("id", F.col("score").cast("double").alias("score")),
+            "score",
+            fracs_bp=[5000],
+        )
+    with _pytest.raises(ValueError):  # domain wider than the bin budget
+        wide = spark.range(10).select(
+            F.col("id"), F.col("id").alias("score")
+        )
+        quantile_cuts(wide, "score", fracs_bp=[5000], max_bins=5)
+    with _pytest.raises(ValueError):  # label arity
+        assign_quantile_buckets(df, "score", [3, 1], labels=["a", "b"])
+    with _pytest.raises(ValueError):  # increasing cuts rejected
+        assign_quantile_buckets(df, "score", [1, 3])
+
+
+def test_quantile_filter_keeps_at_least_fraction(spark):
+    """score >= cuts[0] keeps AT LEAST ceil(f*N/10000) rows (ties
+    inflate, never deflate)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import quantile_cuts
+
+    rows = [(i, (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    for f in (1000, 3333, 5000, 9000):
+        (cut,) = quantile_cuts(df, "score", fracs_bp=[f])
+        kept = df.where(F.col("score") >= cut).count()
+        assert kept >= -(-f * 200 // 10000)

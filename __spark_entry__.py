@@ -4394,6 +4394,44 @@ FROM {final} ORDER BY word
 """
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """Per-document token counts under the learned BPE tokenizer
+    (bpe.bpe_doc_token_counts) — token budgets denominated in
+    tokenizer tokens instead of whitespace words; the encoder runs
+    once per distinct word, never per occurrence."""
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_N_MERGES)
+    return (
+        bpe_doc_token_counts(d, merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bpe_token_count(n_merges: int = _BPE_N_MERGES) -> str:
+    prefix, final = _sql_bpe_prefix(n_merges)
+    return f"""{prefix},
+wl AS (SELECT word, len(syms)::BIGINT AS n_syms FROM {final}),
+dw AS (
+  SELECT doc_id, tok AS word, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+            trim(coalesce(text, '')), '\\s+'), t -> t <> '')) AS tok
+        FROM documents) GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+         sum(cnt * n_syms)::BIGINT AS bpe_tokens
+  FROM dw JOIN wl USING (word) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+       coalesce(bpe_tokens, 0)::BIGINT AS bpe_tokens
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -4579,6 +4617,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: distributed BPE tokenizer training + encoding
         "bpe_train_merges": _q_bpe_train,
         "bpe_encode_words": _q_bpe_encode,
+        "bpe_token_count": _q_bpe_token_count,
         # r5 session 2: exact rank-quantile thresholds -> CCNet tertiles
         "lm_quantile_buckets": _q_lm_quantile_buckets,
     }
@@ -4670,5 +4709,6 @@ def oracle_sql() -> dict[str, str]:
         "chunk_sliding": _SQL_CHUNK_SLIDING,
         "bpe_train_merges": _sql_bpe_train(),
         "bpe_encode_words": _sql_bpe_encode(),
+        "bpe_token_count": _sql_bpe_token_count(),
         "lm_quantile_buckets": _SQL_LM_QUANTILE_BUCKETS,
     }

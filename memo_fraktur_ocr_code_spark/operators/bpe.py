@@ -42,17 +42,23 @@ from pyspark.sql import functions as F
 END_MARKER = "</w>"
 
 
+def _ws_token_array(text_col: str):
+    """Whitespace-split non-empty tokens — the shared word definition
+    for training, encoding, and counting (must stay identical or the
+    learned vocabulary and the counted corpus diverge)."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
 def word_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(word, wc): whitespace-token frequency table — the ONE
     corpus-sized aggregation of BPE training."""
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
     return (
-        df.select(F.explode(toks).alias("word"))
+        df.select(F.explode(_ws_token_array(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -189,3 +195,60 @@ def bpe_encode_words(
         F.col(word_col).alias("word"),
         _encode(F.col(word_col)).alias("bpe_syms"),
     ).withColumn("n_syms", F.size("bpe_syms"))
+
+
+def bpe_doc_token_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token counts under a LEARNED BPE merge table —
+    the real-tokenizer counterpart of ``textstats.token_counts``:
+    token budgets (shard packing, domain mixing, context-window
+    chunking) are denominated in tokenizer tokens, and whitespace
+    counts misprice morphologically rich or OCR-noisy text.
+
+    Returns ``(id, n_words, bpe_tokens)`` with zero-token documents
+    kept at ``(0, 0)``.
+
+    Scale shape: the expensive greedy encoder runs ONCE PER DISTINCT
+    WORD (vocabulary-sized Arrow work, Zipf-bounded ~10^6-10^7 rows at
+    any corpus size), never per occurrence.  The corpus-sized steps
+    are one ``(id, word)`` count aggregation (map-side combine absorbs
+    within-doc repetition) and one join of that table against the
+    encoded vocabulary keyed on the word — left UNHINTED: the vocab
+    usually broadcasts, but Zipf tails are unbounded and AQE should
+    decide (the strip_boilerplate rule).  The final per-doc sum
+    re-shuffles on the id only.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _ws_token_array(text_col).alias("ts")
+    )
+    dw = (
+        base.select("id", F.explode("ts").alias("word"))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    enc = bpe_encode_words(dw.select("word").distinct(), merges)
+    per = (
+        dw.join(enc.select("word", "n_syms"), "word")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("bpe_tokens"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_words", F.lit(0).cast("bigint")).alias(
+                "n_words"
+            ),
+            F.coalesce("bpe_tokens", F.lit(0).cast("bigint")).alias(
+                "bpe_tokens"
+            ),
+        )
+    )

@@ -1342,3 +1342,42 @@ def test_bpe_empty_corpus_raises(spark):
                                "doc_id long, text string")
     with _pytest.raises(ValueError):
         bpe_train(df, n_merges=2)
+
+
+def test_bpe_doc_token_counts(spark):
+    """Counts are per-OCCURRENCE sums of the per-word encoded lengths;
+    empty/NULL docs stay at (0, 0); corpus total equals the trainer's
+    weighted final symbol table (conservation invariant)."""
+    from pyspark.sql import functions as F
+
+    from memo_fraktur_ocr_code_spark.operators.bpe import (
+        _merge_fold,
+        bpe_doc_token_counts,
+        bpe_train,
+        word_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=2)
+    out = {r["id"]: (r["n_words"], r["bpe_tokens"])
+           for r in bpe_doc_token_counts(df, merges).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == (0, 0) and out[4] == (0, 0)
+    # conservation: sum over docs == sum over vocab of wc * len(final)
+    syms = F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>")))
+    for _, left, right, _, _ in merges:
+        syms = _merge_fold(syms, left, right)
+    expect_total = (
+        word_counts(df)
+        .select((F.col("wc") * F.size(syms)).alias("t"))
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert sum(v[1] for v in out.values()) == expect_total
+    # per-word arithmetic: doc2 = one 'low'; doc1 = 2x'low' + 'lower'
+    low_len = out[2][1]
+    assert out[1][0] == 3 and out[2][0] == 1
+    assert out[1][1] > 2 * low_len  # 'lower' adds at least one symbol

@@ -2786,6 +2786,53 @@ SELECT doc_id, n_pairs, lm_ppm FROM scored ORDER BY doc_id
 """
 
 
+def _q_unicode_nfc(spark, sf_dir):
+    """Unicode NFC normalization (curation.normalize_unicode): even
+    doc_ids get planted encoding variants — combining acute
+    (Cafe+U+0301), U+212B ANGSTROM SIGN, A+U+030A, and an fi ligature
+    NFC must NOT touch — odd doc_ids pass through unchanged.  Genuine
+    cross-engine oracle: Python unicodedata vs DuckDB nfc_normalize,
+    two independent implementations of the published Unicode tables."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        normalize_unicode,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("Cafe\u0301 \ufb01n \u212b "),
+                F.coalesce("text", F.lit("")),
+                F.lit(" A\u030ale"),
+            ),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text"),
+    )
+    return (
+        normalize_unicode(planted)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_UNICODE_NFC = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'Cafe' || chr(769) || ' ' || chr(64257) || 'n '
+                   || chr(8491) || ' ' || coalesce(text, '')
+                   || ' A' || chr(778) || 'le'
+              ELSE coalesce(text, '') END AS t
+  FROM documents)
+SELECT doc_id, nfc_normalize(t) AS norm_text,
+       CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS changed
+FROM raw ORDER BY doc_id
+"""
+
+
 def _q_lm_quantile_buckets(spark, sf_dir):
     """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
     2020 §4.3) built from the exact rank-quantile primitive
@@ -4620,6 +4667,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": _q_bpe_token_count,
         # r5 session 2: exact rank-quantile thresholds -> CCNet tertiles
         "lm_quantile_buckets": _q_lm_quantile_buckets,
+        # r5 session 2: Unicode NFC canonicalization (cross-engine:
+        # unicodedata vs DuckDB nfc_normalize)
+        "unicode_nfc": _q_unicode_nfc,
     }
 
 
@@ -4711,4 +4761,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_words": _sql_bpe_encode(),
         "bpe_token_count": _sql_bpe_token_count(),
         "lm_quantile_buckets": _SQL_LM_QUANTILE_BUCKETS,
+        "unicode_nfc": _SQL_UNICODE_NFC,
     }

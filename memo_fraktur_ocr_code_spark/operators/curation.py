@@ -30,6 +30,7 @@ prescribes, alongside the dedup family in ``operators/dedup.py``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -657,3 +658,59 @@ def assign_quantile_buckets(
             F.col(score_col) >= F.lit(int(cut)), F.lit(label)
         ).otherwise(expr)
     return df.withColumn(bucket_col, expr)
+
+
+def normalize_unicode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization
+    step that makes every downstream exact/near-dup signature, token
+    count, and dictionary join insensitive to encoding-level variants
+    (``e`` + combining acute vs precomposed ``é``, U+212B ANGSTROM SIGN
+    vs ``Å``): two byte-different spellings of the same text otherwise
+    hash to different dedup signatures and split word frequencies.
+
+    Returns ``(id, norm_text, changed)`` with ``changed`` as a 0/1 int
+    (engine-portable hashing) and NULL text passed through as NULL.
+
+    Engine contract: the normalization tables are the published Unicode
+    ones, so Python's ``unicodedata`` (this side) and DuckDB's
+    ``nfc_normalize`` (the oracle) are INDEPENDENT implementations of
+    the same spec — a genuine cross-engine check, unlike oracles that
+    re-derive with the same library.  ``form`` accepts all four Unicode
+    forms; only NFC has a DuckDB twin, the others are covered by unit
+    tests.
+
+    Scale shape: one Arrow-batched projection, zero shuffle — the
+    legitimate Pandas-UDF case, since Catalyst has no normalization
+    expression and the tables are far too large to encode as literals.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown Unicode normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize(form, t)
+        )
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_raw"),
+        _norm(F.col(text_col)).alias("norm_text"),
+    )
+    return staged.select(
+        "id",
+        "norm_text",
+        F.when(F.col("norm_text").eqNullSafe(F.col("_raw")), 0)
+        .otherwise(1)
+        .alias("changed"),
+    )

@@ -764,3 +764,50 @@ def test_quantile_filter_keeps_at_least_fraction(spark):
         (cut,) = quantile_cuts(df, "score", fracs_bp=[f])
         kept = df.where(F.col("score") >= cut).count()
         assert kept >= -(-f * 200 // 10000)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_nfc(spark):
+    """Combining sequences compose, singletons (U+212B) map to their
+    canonical char, compatibility ligatures are NFC-invariant, NULL
+    passes through, changed is an exact 0/1."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        normalize_unicode,
+    )
+
+    rows = [
+        (1, "Café"),          # e + combining acute -> é
+        (2, "Å"),               # ANGSTROM SIGN -> Å (U+00C5)
+        (3, "ﬁsh"),             # fi ligature: NFC keeps it
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["norm_text"], r["changed"])
+           for r in normalize_unicode(df).collect()}
+    assert out[1] == ("Café", 1)
+    assert out[2] == ("Å", 1)
+    assert out[3] == ("ﬁsh", 0)
+    assert out[4] == ("plain ascii", 0)
+    assert out[5] == (None, 0)
+
+
+def test_normalize_unicode_nfkc_and_validation(spark):
+    import pytest as _pytest
+
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ﬁsh ｆｕｌｌ")],
+        "doc_id long, text string",
+    )
+    out = normalize_unicode(df, form="NFKC").collect()[0]
+    assert out["norm_text"] == "fish full" and out["changed"] == 1
+    with _pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")

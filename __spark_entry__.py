@@ -4122,6 +4122,76 @@ ORDER BY canonical_url
 """
 
 
+def _q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per target URL
+    (extraction.anchor_text_stats): the document-expansion signal —
+    mode of the trimmed anchor texts with a lexicographic tie-break,
+    plus reference counts, over the canonicalized link graph."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        anchor_text_stats,
+        canonicalize_url,
+        extract_links,
+    )
+
+    links = extract_links(_links_pages(spark, sf_dir))
+    canon = links.select(
+        "anchor_text",
+        canonicalize_url(F.col("href")).alias("canonical_url"),
+    )
+    return anchor_text_stats(canon).orderBy("canonical_url")
+
+
+_SQL_ANCHOR_TEXT = f"""
+WITH pages AS ({_LINKS_PAGES_SQL}),
+an AS (
+  SELECT doc_id,
+         regexp_extract_all(
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+             '(?is)<a\\b[^>]*>.*?</a>', 0) AS arr
+  FROM pages
+),
+ex AS (
+  SELECT doc_id, arr[u.i] AS a
+  FROM an, UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+parsed AS (
+  SELECT doc_id,
+         regexp_extract(a, '(?is)^<a\\b([^>]*)>', 1) AS attrs,
+         regexp_extract(a, '(?is)^<a\\b[^>]*>(.*)</a>$', 1) AS body
+  FROM ex
+),
+h0 AS (
+  SELECT doc_id,
+         coalesce(
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*"([^"]*)"', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*''([^'']*)''', 1), ''),
+             nullif(regexp_extract(attrs,
+                 '(?i)\\bhref\\s*=\\s*([^\\s"''>]+)', 1), '')) AS href,
+         {_dk_vis('body')} AS anchor_text
+  FROM parsed
+),
+h AS (SELECT doc_id, href, anchor_text FROM h0
+      WHERE href IS NOT NULL),{_dk_canon_ctes("h")},
+pairs AS (
+  SELECT canonical_url, trim(anchor_text) AS atext
+  FROM regdom
+  WHERE canonical_url IS NOT NULL AND length(trim(anchor_text)) > 0),
+cnt AS (SELECT canonical_url, atext, count(*)::BIGINT AS c
+        FROM pairs GROUP BY 1, 2),
+mc AS (SELECT canonical_url, sum(c)::BIGINT AS n_anchors,
+              count(*)::BIGINT AS n_texts, max(c)::BIGINT AS top_count
+       FROM cnt GROUP BY 1)
+SELECT m.canonical_url, m.n_anchors, m.n_texts, m.top_count,
+       min(c.atext) AS top_anchor
+FROM mc m JOIN cnt c
+  ON m.canonical_url = c.canonical_url AND c.c = m.top_count
+GROUP BY 1, 2, 3, 4
+ORDER BY m.canonical_url
+"""
+
+
 # ---- code-fence + heading-outline extraction (r5 session 2) ----------
 # Transcript-payload extraction: agent turns interleave prose with
 # fenced code; pages carry a heading skeleton.  Both engines build the
@@ -4670,6 +4740,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: Unicode NFC canonicalization (cross-engine:
         # unicodedata vs DuckDB nfc_normalize)
         "unicode_nfc": _q_unicode_nfc,
+        # r5 session 2: anchor-text aggregation (doc-expansion signal)
+        "anchor_text": _q_anchor_text,
     }
 
 
@@ -4762,4 +4834,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _sql_bpe_token_count(),
         "lm_quantile_buckets": _SQL_LM_QUANTILE_BUCKETS,
         "unicode_nfc": _SQL_UNICODE_NFC,
+        "anchor_text": _SQL_ANCHOR_TEXT,
     }

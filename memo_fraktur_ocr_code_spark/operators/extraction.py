@@ -530,3 +530,55 @@ def layout_reading_order(
             F.sum(F.col("_is_fw").cast("int")).alias("n_fullwidth"),
         )
     )
+
+
+def anchor_text_stats(
+    links: DataFrame,
+    url_col: str = "canonical_url",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """Aggregate the link graph's anchor texts per target URL — the
+    classic document-expansion signal (what OTHER pages call a target
+    is often a better description than the target's own words; the
+    anchor-text index of web search, and a standard web-corpus
+    enrichment column).
+
+    Input is an exploded link table (:func:`extract_links` output with
+    a canonicalized URL column); rows with a NULL URL or an
+    empty/whitespace anchor are ignored.  Output per target URL:
+
+    ``(canonical_url, n_anchors, n_texts, top_count, top_anchor)``
+
+    where ``top_anchor`` is the MODE of the trimmed anchor texts, ties
+    broken by the lexicographically smallest text — a total order, so
+    any two engines and any partitioning elect the same representative.
+
+    Scale shape: two shrinking aggregations — ``(url, text)`` counts
+    (map-side combine absorbs within-page repetition) then per-url
+    stats — plus a self-join of the distinct-pair table against the
+    per-url max to extract the mode.  Everything after the first agg is
+    distinct-pair-sized, not link-sized; no windows, no corpus shuffle
+    beyond the two keys.
+    """
+    pairs = links.select(
+        F.col(url_col).alias("canonical_url"),
+        F.trim(F.col(text_col)).alias("atext"),
+    ).where(
+        F.col("canonical_url").isNotNull() & (F.length("atext") > 0)
+    )
+    cnt = pairs.groupBy("canonical_url", "atext").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = cnt.groupBy("canonical_url").agg(
+        F.sum("c").alias("n_anchors"),
+        F.count(F.lit(1)).alias("n_texts"),
+        F.max("c").alias("top_count"),
+    )
+    return (
+        cnt.join(stats, "canonical_url")
+        .where(F.col("c") == F.col("top_count"))
+        .groupBy(
+            "canonical_url", "n_anchors", "n_texts", "top_count"
+        )
+        .agg(F.min("atext").alias("top_anchor"))
+    )

@@ -284,3 +284,38 @@ def test_layout_tie_break_and_pages(spark):
     out = _blocks(spark, rows)
     assert out[(1, 0)]["page_text"] == "b\na"
     assert out[(1, 1)]["n_fullwidth"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation (r5 session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_text_stats_mode_and_ties(spark):
+    """top_anchor is the mode of trimmed texts; a count tie elects the
+    lexicographically smallest; NULL urls and blank anchors drop."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        anchor_text_stats,
+    )
+
+    rows = [
+        ("http://a/", "Home"),
+        ("http://a/", "  Home  "),       # trims into the mode
+        ("http://a/", "Start"),
+        ("http://b/", "Beta"),
+        ("http://b/", "Alpha"),          # 1-1 tie -> 'Alpha' (lex min)
+        ("http://b/", ""),               # blank dropped
+        ("http://b/", "   "),            # whitespace dropped
+        (None, "ghost"),                  # NULL url dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "canonical_url string, anchor_text string"
+    )
+    out = {r["canonical_url"]: r for r in anchor_text_stats(df).collect()}
+    assert set(out) == {"http://a/", "http://b/"}
+    a = out["http://a/"]
+    assert (a["n_anchors"], a["n_texts"], a["top_count"],
+            a["top_anchor"]) == (3, 2, 2, "Home")
+    b = out["http://b/"]
+    assert (b["n_anchors"], b["n_texts"], b["top_count"],
+            b["top_anchor"]) == (2, 2, 1, "Alpha")

@@ -4549,6 +4549,352 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# conversation-level transcript operators (operators/transcripts.py) — the
+# BASELINE input-hint payload worked at conversation granularity: chat-
+# template rendering, role-sequence validation, boilerplate-turn flagging,
+# tool rollups, SFT pair mining — plus the tf-idf keyword extractor
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_TURN = (
+    "Thanks for using our service today! "
+    "Let us know if you need anything else."
+)
+
+
+def _transcripts_clean(
+    spark: SparkSession, sf_dir: str, turns_per_doc: int = 6
+) -> DataFrame:
+    """Clean (noise-free) deterministic reshaping of ``documents`` into
+    the BASELINE transcript schema, for the conversation-LEVEL operators:
+    6 word-sliced turns per document with cycling roles, a tool name on
+    every third turn (two distinct tools per conversation — exercises the
+    mode tie-break), one planted cross-conversation boilerplate turn on
+    every even conversation, and one planted short turn ("ok") on every
+    conversation (exercises the short-turn exemption).  Pure JVM
+    expressions; mirrored verbatim by the DuckDB ``_SQL_TURNS_CLEAN``
+    CTE."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.greatest(
+            (F.size(F.split("text", " ")) / turns_per_doc).cast("int"),
+            F.lit(1),
+        ).alias("per"),
+    )
+    sliced = (
+        docs.select(
+            "doc_id",
+            "per",
+            "text",
+            F.posexplode(
+                F.sequence(F.lit(0), F.lit(turns_per_doc - 1))
+            ).alias("ti", "_u"),
+        )
+        .select(
+            "doc_id",
+            "ti",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    F.col("ti") * F.col("per") + 1,
+                    F.col("per"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .where(F.col("text") != "")
+    )
+    body = sliced.select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        F.col("ti").cast("int").alias("turn_idx"),
+        F.when(F.col("ti") % 3 == 0, "user")
+        .when(F.col("ti") % 3 == 1, "assistant")
+        .otherwise("tool")
+        .alias("role"),
+        "text",
+        F.when(
+            F.col("ti") % 3 == 2,
+            F.concat(
+                F.lit("t"),
+                ((F.col("doc_id") + F.col("ti")) % 4).cast("string"),
+            ),
+        ).alias("tool"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    greet = d.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        F.lit(90).alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.lit(_BOILERPLATE_TURN).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    short = d.select(
+        F.concat(F.lit("conv"), F.col("doc_id")).alias("conv_id"),
+        F.lit(91).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("ok").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    return (
+        body.unionByName(greet)
+        .unionByName(short)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("turn_idx") * 60
+            ),
+        )
+    )
+
+
+# DuckDB mirror of _transcripts_clean (ts omitted: turn_idx is unique per
+# conversation so it alone determines the stable order, and timestamps
+# never appear in a compared output column)
+_SQL_TURNS_CLEAN = """
+turns0 AS (
+  SELECT doc_id, ti,
+         array_to_string(
+           (string_split(text, ' '))[ti*per+1 : ti*per+per], ' ') AS text
+  FROM (SELECT doc_id, text,
+               greatest(CAST(floor(len(string_split(text, ' ')) / 6.0)
+                             AS INT), 1) AS per
+        FROM documents)
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS ti)
+  WHERE array_to_string(
+          (string_split(text, ' '))[ti*per+1 : ti*per+per], ' ') <> ''),
+turns AS (
+  SELECT 'conv' || doc_id AS conv_id, ti AS turn_idx,
+         CASE CAST(ti % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text,
+         CASE WHEN ti % 3 = 2 THEN 't' || ((doc_id + ti) % 4)
+              ELSE NULL END AS tool
+  FROM turns0
+  UNION ALL
+  SELECT 'conv' || doc_id, 90, 'assistant',
+         'Thanks for using our service today! Let us know if you need anything else.',
+         NULL
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'conv' || doc_id, 91, 'user', 'ok', NULL FROM documents)
+"""
+
+
+def _q_transcript_render(spark, sf_dir):
+    """Chat-template conversation flattening
+    (transcripts.render_conversation): one training document per
+    conversation in stable (turn_idx, ts) order — the packing step
+    before a transcript corpus enters a training mix."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        render_conversation,
+    )
+
+    return render_conversation(_transcripts_clean(spark, sf_dir)).orderBy(
+        "conv_id"
+    )
+
+
+_SQL_TRANSCRIPT_RENDER = f"""
+WITH {_SQL_TURNS_CLEAN},
+r AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         string_agg('<|' || coalesce(role, '') || '|>' || chr(10)
+                    || coalesce(text, ''),
+                    chr(10) ORDER BY turn_idx) AS rendered
+  FROM turns GROUP BY conv_id)
+SELECT conv_id, n_turns, len(rendered)::BIGINT AS n_chars, rendered
+FROM r ORDER BY conv_id
+"""
+
+
+def _q_transcript_validate(spark, sf_dir):
+    """Role-sequence admission gate
+    (transcripts.validate_turn_sequence): first-role check, adjacent
+    role repeats, empty turns — oracle recomputes via lag() windows
+    instead of the operator's sorted-array zip_with."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        validate_turn_sequence,
+    )
+
+    return validate_turn_sequence(
+        _transcripts_clean(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
+_SQL_TRANSCRIPT_VALIDATE = f"""
+WITH {_SQL_TURNS_CLEAN},
+seq AS (
+  SELECT conv_id, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM turns)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       max(CASE WHEN rn = 1 THEN role END) AS first_role,
+       sum(CASE WHEN rn > 1 AND role IS NOT DISTINCT FROM prev_role
+                THEN 1 ELSE 0 END)::BIGINT AS n_role_repeats,
+       sum(CASE WHEN trim(coalesce(text, '')) = ''
+                THEN 1 ELSE 0 END)::BIGINT AS n_empty_turns,
+       CAST(CASE WHEN max(CASE WHEN rn = 1 THEN role END) = 'user'
+                  AND sum(CASE WHEN rn > 1
+                               AND role IS NOT DISTINCT FROM prev_role
+                               THEN 1 ELSE 0 END) = 0
+                  AND sum(CASE WHEN trim(coalesce(text, '')) = ''
+                               THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INT) AS is_valid
+FROM seq GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def _q_transcript_boilerplate(spark, sf_dir):
+    """Cross-conversation boilerplate-turn flagging
+    (transcripts.flag_boilerplate_turns): turns whose normalized text
+    appears in > 3 distinct conversations, short turns exempt.  The
+    planted greeting (250 conversations) must be flagged; the planted
+    short 'ok' (500 conversations) must be exempt."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        flag_boilerplate_turns,
+    )
+
+    t = _transcripts_clean(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    return flag_boilerplate_turns(t, max_conv_df=3, min_chars=10).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+_SQL_TRANSCRIPT_BOILERPLATE = f"""
+WITH {_SQL_TURNS_CLEAN},
+keyed AS (
+  SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text,
+         trim(regexp_replace(lower(coalesce(text, '')),
+                             '\\s+', ' ', 'g')) AS bk
+  FROM turns),
+freq AS (
+  SELECT bk, count(DISTINCT conv_id)::BIGINT AS turn_conv_df
+  FROM keyed WHERE len(bk) >= 10 GROUP BY bk)
+SELECT k.conv_id, k.turn_idx, k.role, k.text, f.turn_conv_df,
+       CAST(CASE WHEN f.turn_conv_df > 3 THEN 1 ELSE 0 END AS INT)
+         AS is_boilerplate
+FROM keyed k LEFT JOIN freq f USING (bk)
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _q_transcript_tool_stats(spark, sf_dir):
+    """Per-conversation tool-usage rollup (transcripts.tool_call_stats):
+    call counts, distinct tools, and the mode tool with a total-order
+    tie-break (every conversation here has a two-way tie — min name
+    wins in both engines)."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        tool_call_stats,
+    )
+
+    return tool_call_stats(_transcripts_clean(spark, sf_dir)).orderBy(
+        "conv_id"
+    )
+
+
+_SQL_TRANSCRIPT_TOOL_STATS = f"""
+WITH {_SQL_TURNS_CLEAN},
+tot AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         count(tool)::BIGINT AS n_tool_calls
+  FROM turns GROUP BY conv_id),
+pairs AS (
+  SELECT conv_id, tool, count(*)::BIGINT AS c
+  FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, tool),
+stats AS (
+  SELECT conv_id, count(*)::BIGINT AS n_distinct_tools,
+         max(c) AS top_tool_count
+  FROM pairs GROUP BY conv_id),
+md AS (
+  SELECT p.conv_id, min(p.tool) AS top_tool,
+         max(s.top_tool_count)::BIGINT AS top_tool_count,
+         max(s.n_distinct_tools)::BIGINT AS n_distinct_tools
+  FROM pairs p JOIN stats s USING (conv_id)
+  WHERE p.c = s.top_tool_count GROUP BY p.conv_id)
+SELECT t.conv_id, t.n_turns, t.n_tool_calls,
+       coalesce(m.n_distinct_tools, 0)::BIGINT AS n_distinct_tools,
+       coalesce(m.top_tool_count, 0)::BIGINT AS top_tool_count,
+       m.top_tool
+FROM tot t LEFT JOIN md m USING (conv_id) ORDER BY conv_id
+"""
+
+
+def _q_transcript_sft(spark, sf_dir):
+    """SFT (context, target) pair mining
+    (transcripts.sft_context_windows): every assistant turn paired with
+    its previous k=3 turns rendered under the chat template; bounded
+    window frame — whale conversations cost O(k) per row."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        sft_context_windows,
+    )
+
+    return sft_context_windows(
+        _transcripts_clean(spark, sf_dir), k=3
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_TRANSCRIPT_SFT = f"""
+WITH {_SQL_TURNS_CLEAN},
+tpl AS (
+  SELECT conv_id, turn_idx, role, text,
+         '<|' || coalesce(role, '') || '|>' || chr(10)
+         || coalesce(text, '') AS tt
+  FROM turns),
+win AS (
+  SELECT conv_id, turn_idx, role, text,
+         list(tt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM tpl)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       len(ctx)::BIGINT AS n_context_turns,
+       array_to_string(ctx, chr(10)) AS context,
+       coalesce(text, '') AS target
+FROM win WHERE role = 'assistant' AND len(ctx) > 0
+ORDER BY conv_id, turn_idx
+"""
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document tf·idf top-k keyword extraction
+    (textstats.tfidf_topk_terms): integer-exact log-free idf, total-order
+    (score desc, term asc) ranking — the corpus-level keyword signal for
+    topic-balanced sampling."""
+    return ts_ops.tfidf_topk_terms(
+        _t(spark, sf_dir, "documents"), k=5
+    ).orderBy("id", "rnk")
+
+
+_SQL_TFIDF_TOPK = """
+WITH terms AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> len(t) >= 2)) AS term
+  FROM documents),
+tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT id, term, tf, doc_freq,
+         tf * ((n_docs * 1000000) // doc_freq) AS score_e6
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY score_e6 DESC, term ASC) AS rnk
+  FROM scored)
+SELECT id, term, tf, doc_freq, score_e6::BIGINT AS score_e6,
+       rnk::BIGINT AS rnk
+FROM rk WHERE rnk <= 5 ORDER BY id, rnk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -4742,6 +5088,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         # r5 session 2: anchor-text aggregation (doc-expansion signal)
         "anchor_text": _q_anchor_text,
+        # r5 session 3: conversation-level transcript operators over the
+        # BASELINE input-hint schema (operators/transcripts.py) — chat
+        # rendering, role validation, boilerplate-turn flagging, tool
+        # rollups, SFT pair mining — plus tf-idf keyword extraction
+        "transcript_render": _q_transcript_render,
+        "transcript_validate": _q_transcript_validate,
+        "transcript_boilerplate": _q_transcript_boilerplate,
+        "transcript_tool_stats": _q_transcript_tool_stats,
+        "transcript_sft_pairs": _q_transcript_sft,
+        "tfidf_topk": _q_tfidf_topk,
     }
 
 
@@ -4835,4 +5191,10 @@ def oracle_sql() -> dict[str, str]:
         "lm_quantile_buckets": _SQL_LM_QUANTILE_BUCKETS,
         "unicode_nfc": _SQL_UNICODE_NFC,
         "anchor_text": _SQL_ANCHOR_TEXT,
+        "transcript_render": _SQL_TRANSCRIPT_RENDER,
+        "transcript_validate": _SQL_TRANSCRIPT_VALIDATE,
+        "transcript_boilerplate": _SQL_TRANSCRIPT_BOILERPLATE,
+        "transcript_tool_stats": _SQL_TRANSCRIPT_TOOL_STATS,
+        "transcript_sft_pairs": _SQL_TRANSCRIPT_SFT,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
     }

@@ -322,3 +322,91 @@ def quality_gate_verdict(
         "top2gram_char_bp",
         keep.alias("keep"),
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_term_chars: int = 2,
+) -> DataFrame:
+    """Per-document top-``k`` keyword extraction by tf·idf — the
+    standard corpus-level keyword/topic signal (Salton & Buckley 1988),
+    and at training-data scale the feature that feeds topic-balanced
+    sampling and index-time document expansion.
+
+    Terms are the lowercased whitespace tokens with at least
+    ``min_term_chars`` characters.  The score is integer-exact (the
+    repo-wide no-libm rule — identical in any engine, no float
+    ordering hazards)::
+
+        idf_e6(term)  = (N * 1_000_000) DIV doc_freq(term)
+        score_e6      = tf(doc, term) * idf_e6(term)
+
+    a monotone transform of the classic tf · N/df (log-free variant;
+    the RANKING inside one document is what downstream consumes, and
+    dropping the log only compresses the ranking toward rare terms,
+    deterministically).  Overflow bound: ``tf * 1e6 * N < 2^63`` holds
+    through N = 10^9 docs with tf ≤ 9×10^3; beyond that, rescale the
+    idf unit to e3 — the ordering is unchanged because the rescale is
+    per-term constant.
+
+    Output: ``(id, term, tf, doc_freq, score_e6, rnk)`` with ``rnk`` =
+    1..k per document, ordered by (score desc, term asc) — a total
+    order, so ties elect the same winners in every engine.
+
+    Scale shape: one ``(id, term)`` count aggregation (map-side combine
+    absorbs within-doc repetition), one term-keyed doc-frequency
+    aggregation OVER the first (already distinct per doc — no second
+    pass over the corpus), a term-keyed join left UNHINTED (the term
+    table is vocabulary-sized: Zipf head broadcasts well, but a
+    web-scale vocabulary can exceed the broadcast ceiling — AQE
+    decides), and a top-k window partitioned BY DOCUMENT (never a
+    global sort).  The single-row corpus count joins as a literal-free
+    cross join that Spark plans as a broadcast.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                _ws_tokens(text_col),
+                lambda t: F.length(t) >= min_term_chars,
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.col("tf")
+            * F.expr("n_docs * 1000000 DIV doc_freq"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

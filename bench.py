@@ -86,6 +86,14 @@ HEADLINE = [
     "bpe_train_merges",
     # r5 session 2: exact rank-quantile CCNet tertile bucketing
     "lm_quantile_buckets",
+    # r5 session 3: conversation-level transcript operators (the
+    # BASELINE input-hint payload at conversation granularity) + tf-idf
+    "transcript_render",
+    "transcript_validate",
+    "transcript_boilerplate",
+    "transcript_tool_stats",
+    "transcript_sft_pairs",
+    "tfidf_topk",
 ]
 
 

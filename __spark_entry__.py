@@ -4862,6 +4862,144 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _q_transcript_sessions(spark, sf_dir):
+    """Time-gap sessionization (transcripts.split_sessions): the
+    synthesized transcripts carry 60 s turn cadence with an ~85 min jump
+    to the planted turns — gap_s=600 splits every conversation into two
+    sessions (plus any slice-gap inside the body, counted identically
+    by both engines)."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        split_sessions,
+    )
+
+    out = split_sessions(_transcripts_clean(spark, sf_dir), gap_s=600)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "prev_gap_s",
+        "session_idx",
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_TRANSCRIPT_SESSIONS = f"""
+WITH {_SQL_TURNS_CLEAN},
+ts_turns AS (
+  SELECT conv_id, turn_idx,
+         1700000000 + turn_idx * 60 AS ts_sec
+  FROM turns),
+gaps AS (
+  SELECT conv_id, turn_idx,
+         ts_sec - lag(ts_sec) OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx) AS prev_gap_s
+  FROM ts_turns)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+       prev_gap_s::BIGINT AS prev_gap_s,
+       sum(CASE WHEN prev_gap_s > 600 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS session_idx
+FROM gaps ORDER BY conv_id, turn_idx
+"""
+
+_PREFIX_SYS = "You are a helpful agent."
+_PREFIX_OPENER = "Hello, I need help."
+
+
+def _q_transcript_prefix_dedup(spark, sf_dir):
+    """Shared-prefix conversation dedup
+    (transcripts.conversation_prefix_groups): every fifth conversation
+    gets its first two turns overridden with a canned system prompt +
+    opener (the agent-trace reality: thousands of runs share one
+    prefix), so ~100 conversations collapse into one md5(prefix) group
+    with a total-order keeper election."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        conversation_prefix_groups,
+    )
+
+    t = _transcripts_clean(spark, sf_dir)
+    planted = F.substring("conv_id", 5, 18).cast("long") % 5 == 0
+    t = t.withColumn(
+        "text",
+        F.when(planted & (F.col("turn_idx") == 0), _PREFIX_SYS)
+        .when(planted & (F.col("turn_idx") == 1), _PREFIX_OPENER)
+        .otherwise(F.col("text")),
+    )
+    return conversation_prefix_groups(t, k=2).orderBy("conv_id")
+
+
+_SQL_TRANSCRIPT_PREFIX_DEDUP = f"""
+WITH {_SQL_TURNS_CLEAN},
+t2 AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) % 5 = 0
+                   AND turn_idx = 0 THEN '{_PREFIX_SYS}'
+              WHEN CAST(substr(conv_id, 5) AS BIGINT) % 5 = 0
+                   AND turn_idx = 1 THEN '{_PREFIX_OPENER}'
+              ELSE text END AS text
+  FROM turns),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS rn
+  FROM t2),
+convs AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         md5(string_agg('<|' || coalesce(role, '') || '|>' || chr(10)
+                        || coalesce(text, ''), chr(10) ORDER BY turn_idx)
+             FILTER (WHERE rn <= 2)) AS prefix_sig
+  FROM ranked GROUP BY conv_id),
+grp AS (
+  SELECT prefix_sig, count(*)::BIGINT AS group_size,
+         min(conv_id) AS keeper
+  FROM convs GROUP BY prefix_sig)
+SELECT c.conv_id, c.n_turns, c.prefix_sig, g.group_size,
+       CAST(CASE WHEN c.conv_id = g.keeper THEN 1 ELSE 0 END AS INT)
+         AS is_kept
+FROM convs c JOIN grp g USING (prefix_sig) ORDER BY conv_id
+"""
+
+
+def _q_transcript_truncate(spark, sf_dir):
+    """Context-budget suffix truncation
+    (transcripts.truncate_to_token_budget): keep the longest suffix of
+    each conversation within a 40-whitespace-token budget — oracle
+    recomputes the reverse running sum with a DESC window."""
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        truncate_to_token_budget,
+    )
+
+    out = truncate_to_token_budget(
+        _transcripts_clean(spark, sf_dir), budget=40
+    )
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "n_tokens",
+        "cum_from_end",
+        "keep",
+    ).orderBy("conv_id", "turn_idx")
+
+
+_SQL_TRANSCRIPT_TRUNCATE = f"""
+WITH {_SQL_TURNS_CLEAN},
+tok AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(string_split_regex(trim(coalesce(text, '')),
+                                            '\\s+'),
+                         t -> t <> ''))::BIGINT AS n_tokens
+  FROM turns),
+cum AS (
+  SELECT conv_id, turn_idx, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS cum_from_end
+  FROM tok)
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, n_tokens, cum_from_end,
+       CAST(CASE WHEN cum_from_end <= 40 THEN 1 ELSE 0 END AS INT)
+         AS keep
+FROM cum ORDER BY conv_id, turn_idx
+"""
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Per-document tf·idf top-k keyword extraction
     (textstats.tfidf_topk_terms): integer-exact log-free idf, total-order
@@ -5098,6 +5236,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_stats": _q_transcript_tool_stats,
         "transcript_sft_pairs": _q_transcript_sft,
         "tfidf_topk": _q_tfidf_topk,
+        # r5 session 3 (cont.): time-gap sessionization, shared-prefix
+        # conversation dedup, context-budget suffix truncation
+        "transcript_sessions": _q_transcript_sessions,
+        "transcript_prefix_dedup": _q_transcript_prefix_dedup,
+        "transcript_truncate": _q_transcript_truncate,
     }
 
 
@@ -5197,4 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_tool_stats": _SQL_TRANSCRIPT_TOOL_STATS,
         "transcript_sft_pairs": _SQL_TRANSCRIPT_SFT,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "transcript_sessions": _SQL_TRANSCRIPT_SESSIONS,
+        "transcript_prefix_dedup": _SQL_TRANSCRIPT_PREFIX_DEDUP,
+        "transcript_truncate": _SQL_TRANSCRIPT_TRUNCATE,
     }

@@ -94,6 +94,9 @@ HEADLINE = [
     "transcript_tool_stats",
     "transcript_sft_pairs",
     "tfidf_topk",
+    "transcript_sessions",
+    "transcript_prefix_dedup",
+    "transcript_truncate",
 ]
 
 

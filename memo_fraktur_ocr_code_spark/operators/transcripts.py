@@ -35,6 +35,9 @@ __all__ = [
     "flag_boilerplate_turns",
     "tool_call_stats",
     "sft_context_windows",
+    "split_sessions",
+    "conversation_prefix_groups",
+    "truncate_to_token_budget",
 ]
 
 # the stable per-conversation sort key: (turn_idx, ts) per the north
@@ -337,4 +340,166 @@ def sft_context_windows(
             F.array_join("_ctx", turn_sep).alias("context"),
             F.coalesce(F.col("text"), F.lit("")).alias("target"),
         )
+    )
+
+
+def split_sessions(df: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Split each conversation into sessions at time gaps: a turn whose
+    ``ts`` is more than ``gap_s`` seconds after the previous turn (in
+    stable ``(turn_idx, ts)`` order) starts a new session.  Long-running
+    agent transcripts routinely splice several human sittings into one
+    ``conv_id``; training mixes want the sitting, not the splice — the
+    classic sessionization pattern (the reference's W2 sentence-boundary
+    running sum, applied to timestamps).
+
+    Output: every input row plus ``prev_gap_s`` (seconds since the
+    previous turn; NULL for the first turn of a conversation) and
+    ``session_idx`` (0-based, increments at every gap > ``gap_s``).
+    NULL ``ts`` never starts a new session (a NULL gap compares false),
+    mirroring the boundary-sum pattern's treatment of missing markers.
+
+    Scale: one conversation-partitioned window pair (lag + running sum)
+    over the same ``conv_id`` key everything else shuffles on —
+    shuffle-free over ``bucket(conv_id)`` tables; per-row state is one
+    lag value.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in _SORT_FIELDS]
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    boundary = F.when(gap > gap_s, 1).otherwise(0)
+    running = Window.partitionBy("conv_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        "*",
+        gap.cast("long").alias("prev_gap_s"),
+        (F.sum(boundary).over(running)).cast("long").alias("session_idx"),
+    )
+
+
+def conversation_prefix_groups(
+    df: DataFrame,
+    k: int = 2,
+    role_open: str = "<|",
+    role_close: str = "|>",
+) -> DataFrame:
+    """Group conversations by their rendered first-``k`` turns — the
+    conversation-granularity dedup signal for agent-trace corpora, where
+    thousands of runs share one system prompt + opening user message and
+    training on every copy overweights the shared prefix.  (SURVEY §2's
+    exact dedup works at document granularity; this is its transcript
+    sibling, keyed on the prefix instead of the whole body.)
+
+    The signature is ``md5`` of the first ``k`` turns rendered under the
+    same chat template as :func:`render_conversation` (role + text —
+    NULLs render empty, so NULL-text prefixes collide deterministically).
+    Conversations with fewer than ``k`` turns sign their whole
+    rendering.
+
+    Output: ``(conv_id, n_turns, prefix_sig, group_size, is_kept)`` —
+    ``is_kept`` = 1 on the lexicographically smallest ``conv_id`` of
+    each group (total order; every engine elects the same keeper),
+    keep-everything contract otherwise.
+
+    Scale: one conversation-keyed aggregation builds the signature
+    (shuffle-free over ``bucket(conv_id)``), then one signature-keyed
+    aggregation over the already-conversation-sized table computes group
+    size + keeper, joined back on the signature.  Both post-aggregation
+    tables are conversation-counted, not turn-counted.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rendered_prefix = F.array_join(
+        F.transform(
+            F.slice(F.col("_turns"), 1, k),
+            lambda t: F.concat(
+                F.lit(role_open),
+                F.coalesce(t["role"], F.lit("")),
+                F.lit(role_close),
+                F.lit("\n"),
+                F.coalesce(t["text"], F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    convs = (
+        df.groupBy("conv_id")
+        .agg(_sorted_turns(df).alias("_turns"))
+        .select(
+            "conv_id",
+            F.size("_turns").cast("long").alias("n_turns"),
+            F.md5(rendered_prefix).alias("prefix_sig"),
+        )
+    )
+    groups = convs.groupBy("prefix_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("conv_id").alias("_keeper"),
+    )
+    return convs.join(groups, "prefix_sig").select(
+        "conv_id",
+        "n_turns",
+        "prefix_sig",
+        "group_size",
+        F.when(F.col("conv_id") == F.col("_keeper"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
+def truncate_to_token_budget(
+    df: DataFrame, budget: int = 512
+) -> DataFrame:
+    """Context-budget suffix truncation: keep the longest SUFFIX of each
+    conversation whose total whitespace-token count fits ``budget`` —
+    the packing rule for SFT corpora where the most recent turns carry
+    the target behavior and the model's context window is fixed.  A
+    turn is kept iff the running token total from the conversation END
+    back to (and including) that turn is ≤ ``budget``; one oversized
+    turn at the tail therefore evicts everything before it, and is
+    itself dropped only if it alone exceeds the budget.
+
+    Output: every input row (keep-everything: funnels need exact
+    counts) plus ``n_tokens`` (whitespace tokens in the turn; NULL text
+    = 0), ``cum_from_end`` (inclusive running total from the end in
+    stable order), and ``keep`` ∈ {0,1}.
+
+    Scale: one conversation-partitioned window with a running sum in
+    REVERSE stable order — the same single ``conv_id`` shuffle as every
+    other operator here (none over ``bucket(conv_id)`` tables); per-row
+    state is one accumulator.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    rev = [F.col(c).desc() for c in _SORT_FIELDS]
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    out = df.select(
+        "*",
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    return out.select(
+        "*",
+        cum.cast("long").alias("cum_from_end"),
+    ).withColumn(
+        "keep",
+        F.when(F.col("cum_from_end") <= budget, 1)
+        .otherwise(0)
+        .cast("int"),
     )

@@ -258,3 +258,144 @@ def test_tfidf_min_chars_and_validation(spark):
     assert terms == {"bb", "cc"}
     with pytest.raises(ValueError):
         tfidf_topk_terms(docs, k=0)
+
+
+def test_split_sessions_gaps(spark):
+    rows = [
+        ("s1", 0, "user", "a", None, T0),
+        ("s1", 1, "assistant", "b", None, T0 + datetime.timedelta(minutes=2)),
+        # 2-hour gap → new session
+        ("s1", 2, "user", "c", None, T0 + datetime.timedelta(hours=2)),
+        ("s1", 3, "assistant", "d", None,
+         T0 + datetime.timedelta(hours=2, minutes=1)),
+        # another long gap
+        ("s1", 4, "user", "e", None, T0 + datetime.timedelta(hours=9)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        split_sessions,
+    )
+
+    out = {
+        r["turn_idx"]: r for r in split_sessions(df, gap_s=1800).collect()
+    }
+    assert [out[i]["session_idx"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert out[0]["prev_gap_s"] is None
+    assert out[1]["prev_gap_s"] == 120
+    assert out[2]["prev_gap_s"] == 2 * 3600 - 120
+
+
+def test_split_sessions_null_ts_never_splits(spark):
+    rows = [
+        ("n1", 0, "user", "a", None, T0),
+        ("n1", 1, "assistant", "b", None, None),
+        ("n1", 2, "user", "c", None, T0 + datetime.timedelta(hours=3)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        split_sessions,
+    )
+
+    out = {r["turn_idx"]: r for r in split_sessions(df).collect()}
+    # NULL gaps compare false on both sides of the NULL ts
+    assert [out[i]["session_idx"] for i in range(3)] == [0, 0, 0]
+    assert out[1]["prev_gap_s"] is None and out[2]["prev_gap_s"] is None
+
+
+def test_prefix_groups(spark):
+    shared = [
+        (0, "user", "same system prompt"),
+        (1, "assistant", "same opener"),
+    ]
+    rows = []
+    for c in ("p1", "p2", "p3"):
+        for i, role, text in shared:
+            rows.append((c, i, role, text, None, _ts(i)))
+        rows.append((c, 2, "user", f"unique tail {c}", None, _ts(2)))
+    rows += [
+        ("q1", 0, "user", "different prompt", None, _ts(0)),
+        ("q1", 1, "assistant", "same opener", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        conversation_prefix_groups,
+    )
+
+    out = {
+        r["conv_id"]: r
+        for r in conversation_prefix_groups(df, k=2).collect()
+    }
+    assert len(out) == 4  # keep-everything: one row per conversation
+    sigs = {c: out[c]["prefix_sig"] for c in out}
+    assert sigs["p1"] == sigs["p2"] == sigs["p3"] != sigs["q1"]
+    assert out["p1"]["group_size"] == 3
+    assert (
+        out["p1"]["is_kept"],
+        out["p2"]["is_kept"],
+        out["p3"]["is_kept"],
+    ) == (1, 0, 0)
+    assert out["q1"]["group_size"] == 1 and out["q1"]["is_kept"] == 1
+    with pytest.raises(ValueError):
+        conversation_prefix_groups(df, k=0)
+
+
+def test_prefix_groups_short_conv_signs_whole_rendering(spark):
+    rows = [
+        ("a", 0, "user", "hi", None, _ts(0)),
+        ("b", 0, "user", "hi", None, _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        conversation_prefix_groups,
+    )
+
+    out = {
+        r["conv_id"]: r
+        for r in conversation_prefix_groups(df, k=5).collect()
+    }
+    assert out["a"]["prefix_sig"] == out["b"]["prefix_sig"]
+    assert out["a"]["group_size"] == 2
+    assert (out["a"]["is_kept"], out["b"]["is_kept"]) == (1, 0)
+
+
+def test_truncate_to_token_budget(spark):
+    rows = [
+        ("t1", 0, "user", "one two three four five", None, _ts(0)),  # 5
+        ("t1", 1, "assistant", "a b c d", None, _ts(1)),  # 4
+        ("t1", 2, "user", "x y z", None, _ts(2)),  # 3
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        truncate_to_token_budget,
+    )
+
+    out = {
+        r["turn_idx"]: r
+        for r in truncate_to_token_budget(df, budget=8).collect()
+    }
+    assert [out[i]["n_tokens"] for i in range(3)] == [5, 4, 3]
+    assert [out[i]["cum_from_end"] for i in range(3)] == [12, 7, 3]
+    assert [out[i]["keep"] for i in range(3)] == [0, 1, 1]
+    with pytest.raises(ValueError):
+        truncate_to_token_budget(df, budget=0)
+
+
+def test_truncate_oversized_tail_evicts_everything(spark):
+    rows = [
+        ("t2", 0, "user", "small", None, _ts(0)),
+        ("t2", 1, "assistant", "way too many tokens here", None, _ts(1)),
+        ("t2", 2, "user", None, None, _ts(2)),  # NULL text = 0 tokens
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        truncate_to_token_budget,
+    )
+
+    out = {
+        r["turn_idx"]: r
+        for r in truncate_to_token_budget(df, budget=2).collect()
+    }
+    assert out[2]["n_tokens"] == 0 and out[2]["keep"] == 1
+    # the 5-token turn alone exceeds the budget → dropped, and so is
+    # everything before it
+    assert out[1]["keep"] == 0 and out[0]["keep"] == 0

@@ -142,6 +142,29 @@ def main():
         "on shard, never SinglePartition) — per-shard quota packing "
         "parallelizes to n_shards at any corpus size.",
     )
+    add(
+        "Chat-template conversation rendering (transcript_render)",
+        e.extra_queries()["transcript_render"](spark, sf),
+        "ONE conversation-keyed hash aggregate (collect_list) with the "
+        "ordering done by array_sort INSIDE the aggregate — no window, "
+        "no sort exchange; over bucket(conv_id) tables the single "
+        "Exchange elides.",
+    )
+    add(
+        "SFT context-window mining (transcript_sft_pairs)",
+        e.extra_queries()["transcript_sft_pairs"](spark, sf),
+        "One conversation-partitioned window with a BOUNDED "
+        "rowsBetween(-k,-1) frame — per-row state is k turns, whale "
+        "conversations cost O(k); the only Exchange keys on conv_id.",
+    )
+    add(
+        "Shared-prefix conversation dedup (transcript_prefix_dedup)",
+        e.extra_queries()["transcript_prefix_dedup"](spark, sf),
+        "Turn-level work is one conversation-keyed aggregate; the "
+        "group/keeper aggregate and its join run over the already "
+        "conversation-sized signature table (corpus-of-turns never "
+        "shuffles twice).",
+    )
 
     out = (
         "# Physical plan audits (`.explain('formatted')`, local[4],"

@@ -4943,8 +4943,12 @@ ranked AS (
   FROM t2),
 convs AS (
   SELECT conv_id, count(*)::BIGINT AS n_turns,
-         md5(string_agg('<|' || coalesce(role, '') || '|>' || chr(10)
-                        || coalesce(text, ''), chr(10) ORDER BY turn_idx)
+         md5(string_agg(
+               len(coalesce(role, ''))::VARCHAR || ':'
+               || coalesce(role, '') || '#'
+               || len(coalesce(text, ''))::VARCHAR || ':'
+               || coalesce(text, ''),
+               '|' ORDER BY turn_idx)
              FILTER (WHERE rn <= 2)) AS prefix_sig
   FROM ranked GROUP BY conv_id),
 grp AS (

@@ -124,7 +124,22 @@ def curate(
         F.sum(F.length("text")).alias("chars"),
         F.expr("bit_xor(xxhash64(text))").alias("xh"),
     ).collect()[0]
-    fp = f"docs:{fpr['n']}:{fpr['chars'] or 0}:{fpr['xh'] or 0}"
+    # the fingerprint also carries every parameter that changes a
+    # CHECKPOINTED stage's output (max_line_df → 'cleaned',
+    # jaccard_threshold → 'near', the bench content → 'decon'), so a
+    # --resume under different settings recomputes instead of shipping
+    # stale stages; budget/n_shards only affect the non-checkpointed
+    # final pack and are deliberately excluded (code-review r5 s3)
+    fp = (
+        f"docs:{fpr['n']}:{fpr['chars'] or 0}:{fpr['xh'] or 0}"
+        f":ldf={max_line_df}:j={jaccard_threshold}"
+    )
+    if bench is not None:
+        bfp = bench.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(text))").alias("xh"),
+        ).collect()[0]
+        fp += f":bench={bfp['n']}:{bfp['xh'] or 0}"
 
     def _stage(name: str, build) -> DataFrame:
         """Materialize ``build()`` under the checkpoint manifest, or

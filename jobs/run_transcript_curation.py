@@ -23,8 +23,14 @@ per-stage funnel summary:
    after dedup, a legitimate one-of-a-kind system prompt has
    conversation-frequency 1 and survives, while canned banners that
    recur across unrelated conversations still exceed the threshold.
+   Sessions whose role sequence BREAKS because of a removed turn (two
+   same-role turns becoming adjacent) are re-validated and dropped —
+   the pipeline never ships a defect its own gate rejects.
 5. **truncate** — longest suffix within the token budget
-   (transcripts.truncate_to_token_budget).
+   (transcripts.truncate_to_token_budget).  Truncation keeps a
+   contiguous suffix, so it cannot break role adjacency; it can change
+   the FIRST role, which is deliberate (an SFT suffix need not open
+   with ``user``).
 6. **emit** — rendered training documents
    (transcripts.render_conversation), SFT (context, target) pairs
    (transcripts.sft_context_windows), per-conversation tool-usage
@@ -105,14 +111,26 @@ def curate_transcripts(
         except Exception:
             return {}
 
-    # content-hashed input fingerprint (same rule as run_curation.py):
-    # resuming a DIFFERENT corpus into the same out_dir must refuse
+    # content-hashed input fingerprint: resuming a DIFFERENT corpus into
+    # the same out_dir must refuse.  The hash covers EVERY column a
+    # stage consumes (ts drives sessionization, role drives validation
+    # and the prefix signature, tool reaches the stats sink), and the
+    # fingerprint string carries every tuning parameter that changes a
+    # checkpointed stage's output — otherwise --resume with, say, a
+    # different budget would silently ship the old budget's truncation
+    # (code-review r5 s3)
     fpr = turns.agg(
         F.count("*").alias("n"),
         F.countDistinct("conv_id").alias("convs"),
-        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("xh"),
+        F.expr(
+            "bit_xor(xxhash64(conv_id, turn_idx, role, text, tool, ts))"
+        ).alias("xh"),
     ).collect()[0]
-    fp = f"turns:{fpr['n']}:{fpr['convs']}:{fpr['xh'] or 0}"
+    fp = (
+        f"turns:{fpr['n']}:{fpr['convs']}:{fpr['xh'] or 0}"
+        f":gap={gap_s}:df={max_conv_df}:k={prefix_k}"
+        f":budget={budget}"
+    )
 
     def _stage(name: str, build) -> DataFrame:
         done = _stages_done()
@@ -170,22 +188,52 @@ def curate_transcripts(
     )
 
     # 3. shared-prefix dedup FIRST (see module docstring: stripping the
-    # shared system prompt before dedup would blind the dedup)
-    groups = conversation_prefix_groups(sessioned, k=prefix_k)
-    keepers = groups.where(F.col("is_kept") == 1).select("conv_id")
-    turns_d = sessioned.join(keepers, "conv_id")
+    # shared system prompt before dedup would blind the dedup).  The
+    # keeper set is itself a (cheap, conversation-sized) checkpointed
+    # stage so the prefix aggregation runs ONCE — the funnel count and
+    # the join below both read the materialized table rather than
+    # re-electing keepers (code-review r5 s3).
+    def _build_keepers():
+        groups = conversation_prefix_groups(sessioned, k=prefix_k)
+        return groups.where(F.col("is_kept") == 1).select("conv_id")
+
+    keepers = _stage("keepers", _build_keepers)
     funnel["sessions_after_prefix_dedup"] = keepers.count()
+    turns_d = sessioned.join(keepers, "conv_id")
 
     # 4. boilerplate turns over the deduped survivors (cross-SESSION df
     # after the re-key — a canned banner repeating across sittings of
     # one conversation counts too, which is exactly the boilerplate
-    # definition)
-    flagged = flag_boilerplate_turns(turns_d, max_conv_df=max_conv_df)
-    turns_c = flagged.where(F.col("is_boilerplate") == 0).select(
-        *TURN_COLS
+    # definition).  Materialized: the normalize+distinct-count work runs
+    # once; the funnel delta is two counts over materialized tables
+    # plus one cheap join of them.
+    def _build_clean():
+        flagged = flag_boilerplate_turns(
+            turns_d, max_conv_df=max_conv_df
+        )
+        return flagged.where(F.col("is_boilerplate") == 0).select(
+            *TURN_COLS
+        )
+
+    turns_c = _stage("clean_turns", _build_clean)
+    funnel["boilerplate_turns_dropped"] = int(turns_d.count()) - int(
+        turns_c.count()
     )
-    funnel["boilerplate_turns_dropped"] = int(
-        flagged.agg(F.sum("is_boilerplate")).collect()[0][0] or 0
+
+    # 4b. re-validate the role sequence AFTER turn removal: dropping a
+    # boilerplate turn can make two same-role turns adjacent — exactly
+    # the defect the admission gate rejects — so sessions broken by the
+    # strip are dropped here rather than shipped (code-review r5 s3).
+    # (Truncation below cannot break adjacency: it keeps a contiguous
+    # suffix.  It CAN change the first role — deliberate: an SFT suffix
+    # need not open with `user`, and re-imposing that here would evict
+    # every truncated session.)
+    revalid = validate_turn_sequence(turns_c)
+    broken = revalid.where(F.col("n_role_repeats") > 0)
+    funnel["role_broken_after_strip_dropped"] = broken.count()
+    turns_c = turns_c.join(
+        revalid.where(F.col("n_role_repeats") == 0).select("conv_id"),
+        "conv_id",
     )
 
     # 5. token-budget suffix truncation; the final turn table is the

@@ -266,3 +266,39 @@ def salted_unigram_freqlist(
     return salted_count(base, ["token"], salt_buckets).orderBy(
         F.desc("freq"), "token"
     )
+
+
+def mode_per_key(
+    counted: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    value_col: str,
+    count_col: str = "c",
+) -> DataFrame:
+    """Total-order mode election over a pre-counted ``(key..., value,
+    count)`` table: per key, the value with the highest count, ties
+    broken by the lexicographically smallest value — a total order, so
+    every engine and every partitioning elect the same representative.
+
+    Output: ``(key..., mode_value, mode_count)``.
+
+    Shared by :func:`~...operators.extraction.anchor_text_stats` (the
+    anchor-text representative) and
+    :func:`~...operators.transcripts.tool_call_stats` (the dominant
+    tool) — one election rule, one implementation.
+
+    Scale: the input is already distinct-pair-sized; one per-key max
+    aggregation and one equi-join back, no windows.
+    """
+    keys = list(key_cols)
+    peak = counted.groupBy(*keys).agg(
+        F.max(count_col).alias("_peak")
+    )
+    return (
+        counted.join(peak, keys)
+        .where(F.col(count_col) == F.col("_peak"))
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias("mode_value"),
+            F.max("_peak").alias("mode_count"),
+        )
+    )

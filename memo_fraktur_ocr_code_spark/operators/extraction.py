@@ -566,19 +566,23 @@ def anchor_text_stats(
     ).where(
         F.col("canonical_url").isNotNull() & (F.length("atext") > 0)
     )
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        mode_per_key,
+    )
+
     cnt = pairs.groupBy("canonical_url", "atext").agg(
         F.count(F.lit(1)).alias("c")
     )
     stats = cnt.groupBy("canonical_url").agg(
         F.sum("c").alias("n_anchors"),
         F.count(F.lit(1)).alias("n_texts"),
-        F.max("c").alias("top_count"),
     )
-    return (
-        cnt.join(stats, "canonical_url")
-        .where(F.col("c") == F.col("top_count"))
-        .groupBy(
-            "canonical_url", "n_anchors", "n_texts", "top_count"
-        )
-        .agg(F.min("atext").alias("top_anchor"))
+    mode = (
+        mode_per_key(cnt, ["canonical_url"], "atext")
+        .withColumnRenamed("mode_count", "top_count")
+        .withColumnRenamed("mode_value", "top_anchor")
+    )
+    return stats.join(mode, "canonical_url").select(
+        "canonical_url", "n_anchors", "n_texts", "top_count",
+        "top_anchor",
     )

@@ -165,7 +165,9 @@ def validate_turn_sequence(
     return out.withColumn(
         "is_valid",
         (
-            (F.col("first_role") == expected_first)
+            # NULL-safe: a NULL first_role is a mismatch (is_valid=0),
+            # not a NULL verdict — the documented {0,1} contract
+            F.col("first_role").eqNullSafe(F.lit(expected_first))
             & (F.col("n_role_repeats") == 0)
             & (F.col("n_empty_turns") == 0)
         )
@@ -250,6 +252,10 @@ def tool_call_stats(df: DataFrame) -> DataFrame:
     then per-conversation stats — plus a distinct-pair-sized mode
     extraction join; no windows, no corpus-sized second shuffle.
     """
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        mode_per_key,
+    )
+
     totals = df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.count("tool").alias("n_tool_calls"),
@@ -260,18 +266,13 @@ def tool_call_stats(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     stats = pairs.groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("n_distinct_tools"),
-        F.max("c").alias("top_tool_count"),
+        F.count(F.lit(1)).alias("n_distinct_tools")
     )
     mode = (
-        pairs.join(stats, "conv_id")
-        .where(F.col("c") == F.col("top_tool_count"))
-        .groupBy("conv_id")
-        .agg(
-            F.min("tool").alias("top_tool"),
-            F.max("top_tool_count").alias("top_tool_count"),
-            F.max("n_distinct_tools").alias("n_distinct_tools"),
-        )
+        mode_per_key(pairs, ["conv_id"], "tool")
+        .withColumnRenamed("mode_value", "top_tool")
+        .withColumnRenamed("mode_count", "top_tool_count")
+        .join(stats, "conv_id")
     )
     return totals.join(mode, "conv_id", "left").select(
         "conv_id",
@@ -381,12 +382,7 @@ def split_sessions(df: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
-def conversation_prefix_groups(
-    df: DataFrame,
-    k: int = 2,
-    role_open: str = "<|",
-    role_close: str = "|>",
-) -> DataFrame:
+def conversation_prefix_groups(df: DataFrame, k: int = 2) -> DataFrame:
     """Group conversations by their rendered first-``k`` turns — the
     conversation-granularity dedup signal for agent-trace corpora, where
     thousands of runs share one system prompt + opening user message and
@@ -394,11 +390,15 @@ def conversation_prefix_groups(
     exact dedup works at document granularity; this is its transcript
     sibling, keyed on the prefix instead of the whole body.)
 
-    The signature is ``md5`` of the first ``k`` turns rendered under the
-    same chat template as :func:`render_conversation` (role + text —
-    NULLs render empty, so NULL-text prefixes collide deterministically).
-    Conversations with fewer than ``k`` turns sign their whole
-    rendering.
+    The signature is ``md5`` over an INJECTIVE encoding of the first
+    ``k`` turns' (role, text) pairs: every field is length-prefixed
+    (``len:value``), so turn text that happens to contain the template
+    markers or separators cannot forge a collision with a structurally
+    different conversation (a chat-template rendering is ambiguous —
+    ``"hello\\n<|assistant|>\\nok"`` in one turn renders like two
+    turns).  NULLs encode as empty fields, so NULL-text prefixes
+    collide deterministically.  Conversations with fewer than ``k``
+    turns sign all their turns.
 
     Output: ``(conv_id, n_turns, prefix_sig, group_size, is_kept)`` —
     ``is_kept`` = 1 on the lexicographically smallest ``conv_id`` of
@@ -413,18 +413,19 @@ def conversation_prefix_groups(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+
+    def _enc(c):
+        v = F.coalesce(c, F.lit(""))
+        return F.concat(F.length(v).cast("string"), F.lit(":"), v)
+
     rendered_prefix = F.array_join(
         F.transform(
             F.slice(F.col("_turns"), 1, k),
             lambda t: F.concat(
-                F.lit(role_open),
-                F.coalesce(t["role"], F.lit("")),
-                F.lit(role_close),
-                F.lit("\n"),
-                F.coalesce(t["text"], F.lit("")),
+                _enc(t["role"]), F.lit("#"), _enc(t["text"])
             ),
         ),
-        "\n",
+        "|",
     )
     convs = (
         df.groupBy("conv_id")

@@ -76,17 +76,22 @@ def test_transcript_kill_and_resume_skips_finished_stages(
             f"{out_crash}/stages/_stages_done"
         ).collect()
     }
-    assert done == {"sessioned"}
+    assert done == {"sessioned", "keepers", "clean_turns"}
 
-    # resume: 'sessioned' is read back, never recomputed
+    # resume: finished stages are read back, never recomputed
     monkeypatch.setattr(tr_mod, "truncate_to_token_budget", real_trunc)
-    monkeypatch.setattr(
-        tr_mod,
+    for poisoned in (
         "split_sessions",
-        lambda *a, **k: (_ for _ in ()).throw(
-            AssertionError("stage 'sessioned' recomputed on resume")
-        ),
-    )
+        "conversation_prefix_groups",
+        "flag_boilerplate_turns",
+    ):
+        monkeypatch.setattr(
+            tr_mod,
+            poisoned,
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("finished stage recomputed on resume")
+            ),
+        )
     resumed = curate_transcripts(
         spark, turns, out_crash, budget=8, n_ckpt_buckets=4,
         resume=True,
@@ -106,6 +111,14 @@ def test_transcript_kill_and_resume_skips_finished_stages(
     with pytest.raises(ValueError, match="refusing to resume"):
         curate_transcripts(
             spark, other, out_crash, budget=8, n_ckpt_buckets=4,
+            resume=True,
+        )
+
+    # ...and so must a parameter change that alters a checkpointed
+    # stage's output (the budget drives the final_turns stage)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        curate_transcripts(
+            spark, turns, out_crash, budget=99, n_ckpt_buckets=4,
             resume=True,
         )
 

@@ -399,3 +399,40 @@ def test_truncate_oversized_tail_evicts_everything(spark):
     # the 5-token turn alone exceeds the budget → dropped, and so is
     # everything before it
     assert out[1]["keep"] == 0 and out[0]["keep"] == 0
+
+
+def test_validate_null_first_role_is_invalid_not_null(spark):
+    df = spark.createDataFrame(
+        [
+            ("nr", 0, None, "hi there friend", None, _ts(0)),
+            ("nr", 1, "assistant", "hello back", None, _ts(1)),
+        ],
+        SCHEMA,
+    )
+    (row,) = validate_turn_sequence(df).collect()
+    # NULL first_role is a mismatch → 0, never a NULL verdict
+    assert row["is_valid"] == 0
+
+
+def test_prefix_sig_is_injective_against_template_forgery(spark):
+    from memo_fraktur_ocr_code_spark.operators.transcripts import (
+        conversation_prefix_groups,
+    )
+
+    # one turn whose TEXT embeds a rendered-looking second turn vs the
+    # real two-turn conversation: a template-based signature would
+    # collide; the length-prefixed encoding must not
+    forged = [
+        ("forge", 0, "user", "hello\n<|assistant|>\nok", None, _ts(0)),
+        ("forge", 1, "assistant", "tail", None, _ts(1)),
+    ]
+    real = [
+        ("real", 0, "user", "hello", None, _ts(0)),
+        ("real", 1, "assistant", "ok", None, _ts(1)),
+    ]
+    df = spark.createDataFrame(forged + real, SCHEMA)
+    out = {
+        r["conv_id"]: r["prefix_sig"]
+        for r in conversation_prefix_groups(df, k=2).collect()
+    }
+    assert out["forge"] != out["real"]

@@ -5037,6 +5037,203 @@ FROM rk WHERE rnk <= 5 ORDER BY id, rnk
 """
 
 
+def _q_dsir_importance(spark, sf_dir):
+    """DSIR hashed-ngram importance signal (Xie et al., NeurIPS 2023):
+    target distribution = the deterministic 25% md5 slice of documents
+    (stand-in for a curated high-quality set), raw = all documents;
+    per-doc score = sum of smoothed bucket-ppm differences over
+    unigram+bigram occurrences hashed into 4096 md5 buckets.  Integer
+    ppm differences stand in for the paper's log-ratios (the
+    bigram_lm_score precedent — engine-portable, no libm)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        _md5_mod,
+        dsir_importance,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(_md5_mod("doc_id", "dsirT", 4) == 0)
+    return dsir_importance(d, target, n_buckets=4096).orderBy("doc_id")
+
+
+def _q_dsir_resample(spark, sf_dir):
+    """The selection half of DSIR: deterministic top-50 raw documents
+    under (dsir_ppm DESC, doc_id ASC) — TakeOrdered, never a global
+    sort (the zero-noise limit of the paper's Gumbel resampling)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        _md5_mod,
+        dsir_resample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(_md5_mod("doc_id", "dsirT", 4) == 0)
+    return dsir_resample(d, target, keep_n=50, n_buckets=4096)
+
+
+#: Shared CTE chain ending in ``scored(doc_id, n_feats, dsir_ppm)`` —
+#: one definition for both DSIR oracles (the importance table and the
+#: resample are the same computation; only the final ORDER/LIMIT
+#: differs).  Bucket = first 32 bits of md5('dsir:gram') mod 4096,
+#: identical hex-nibble reconstruction as the Spark side's _md5_mod.
+_SQL_DSIR_SCORED_CTES = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+tgt AS (SELECT * FROM d
+        WHERE {_sql_md5_mod('dsirT', 4)} = 0),
+fr AS (
+  SELECT doc_id, {_sql_md5_mod('dsir', 4096, 'g')} AS bucket FROM (
+    SELECT doc_id, unnest(ts) AS g FROM d
+    UNION ALL
+    SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+    FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+          FROM d WHERE len(ts) >= 2))),
+ft AS (
+  SELECT doc_id, {_sql_md5_mod('dsir', 4096, 'g')} AS bucket FROM (
+    SELECT doc_id, unnest(ts) AS g FROM tgt
+    UNION ALL
+    SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+    FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+          FROM tgt WHERE len(ts) >= 2))),
+cr AS (SELECT bucket, count(*)::BIGINT AS cr FROM fr GROUP BY bucket),
+ct AS (SELECT bucket, count(*)::BIGINT AS ct FROM ft GROUP BY bucket),
+tot AS (SELECT (SELECT count(*) FROM fr)::BIGINT AS nr,
+               (SELECT count(*) FROM ft)::BIGINT AS nt),
+tbl AS (SELECT bucket,
+               ((coalesce(ct, 0) + 1) * 1000000 // (nt + 4096))
+               - ((cr + 1) * 1000000 // (nr + 4096)) AS dppm
+        FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_feats,
+              sum(dppm)::BIGINT AS dsir_ppm
+       FROM fr JOIN tbl USING (bucket) GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats,
+         coalesce(dsir_ppm, 0)::BIGINT AS dsir_ppm
+  FROM d LEFT JOIN pd USING (doc_id))"""
+
+_SQL_DSIR_IMPORTANCE = f"""{_SQL_DSIR_SCORED_CTES}
+SELECT doc_id, n_feats, dsir_ppm FROM scored ORDER BY doc_id
+"""
+
+_SQL_DSIR_RESAMPLE = f"""{_SQL_DSIR_SCORED_CTES}
+SELECT doc_id, n_feats, dsir_ppm FROM scored
+ORDER BY dsir_ppm DESC, doc_id ASC LIMIT 50
+"""
+
+
+def _q_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid Backoff LM score (Brants et al. 2007 §4) in
+    integer ppm: counts trained on the EVEN-doc_id half, every document
+    scored — so odd documents hit unseen trigrams and genuinely take
+    the 0.4 / 0.4^2 backoff branches (training on the whole corpus
+    would leave backoff dead code)."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        stupid_backoff_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return stupid_backoff_score(
+        d, train=d.where(F.col("doc_id") % 2 == 0)
+    ).orderBy("doc_id")
+
+
+_SQL_STUPID_BACKOFF = f"""
+WITH d AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+pos AS (SELECT doc_id, ts[i - 1] AS w1, ts[i] AS w2, ts[i + 1] AS w3
+        FROM (SELECT doc_id, ts, unnest(range(2, len(ts))) AS i
+              FROM d WHERE len(ts) >= 3)),
+tuni AS (SELECT w, count(*)::BIGINT AS cu
+         FROM (SELECT unnest(ts) AS w FROM tr) GROUP BY w),
+tbi AS (SELECT a, b, count(*)::BIGINT AS cb
+        FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+              FROM (SELECT ts, unnest(range(1, len(ts))) AS i
+                    FROM tr WHERE len(ts) >= 2)) GROUP BY a, b),
+ttri AS (SELECT a, b, c, count(*)::BIGINT AS ct3
+         FROM (SELECT ts[i - 1] AS a, ts[i] AS b, ts[i + 1] AS c
+               FROM (SELECT ts, unnest(range(2, len(ts))) AS i
+                     FROM tr WHERE len(ts) >= 3)) GROUP BY a, b, c),
+ntok AS (SELECT count(*)::BIGINT AS n_tok
+         FROM (SELECT unnest(ts) FROM tr)),
+j AS (SELECT pos.doc_id,
+             CASE WHEN coalesce(ct3, 0) > 0
+                    THEN ct3 * 1000000 // cctx2
+                  WHEN coalesce(c2, 0) > 0
+                    THEN 2 * (c2 * 1000000 // cctx1) // 5
+                  ELSE 4 * (coalesce(c1, 0) * 1000000
+                            // greatest(n_tok, 1)) // 25 END AS s
+      FROM pos
+      LEFT JOIN ttri ON ttri.a = pos.w1 AND ttri.b = pos.w2
+                    AND ttri.c = pos.w3
+      LEFT JOIN (SELECT a, b, cb AS cctx2 FROM tbi) x2
+             ON x2.a = pos.w1 AND x2.b = pos.w2
+      LEFT JOIN (SELECT a, b, cb AS c2 FROM tbi) x3
+             ON x3.a = pos.w2 AND x3.b = pos.w3
+      LEFT JOIN (SELECT w, cu AS cctx1 FROM tuni) x4 ON x4.w = pos.w2
+      LEFT JOIN (SELECT w, cu AS c1 FROM tuni) x5 ON x5.w = pos.w3
+      CROSS JOIN ntok),
+pd AS (SELECT doc_id, count(*)::BIGINT AS n_scored,
+              (sum(s) // count(*))::BIGINT AS sb_ppm
+       FROM j GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_scored, 0)::BIGINT AS n_scored,
+       coalesce(sb_ppm, 0)::BIGINT AS sb_ppm
+FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id
+"""
+
+
+def _q_embedding_decontaminate(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (similarity.decontaminate_embeddings): bench = every 37th corpus
+    vector SCALED BY 2 (byte-different vectors, cosine-identical — so
+    the hit is similarity-based, not exact-match), corpus = all vectors.
+    The REGISTERED plan takes the SRP-banded scale path; the DuckDB
+    oracle is the exact brute-force cross join — they agree here
+    because scaled copies have identical SRP signatures (sign(w.av) =
+    sign(w.v) for a > 0), giving the band join guaranteed recall on
+    every planted hit, and organic pairs top out at cos 0.48 on this
+    table, far under tau = 0.999."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        decontaminate_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 37 == 0).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(2.0)
+        ).alias("embedding"),
+    )
+    return decontaminate_embeddings(
+        emb, bench, dim=64, tau_e6=999000, method="srp"
+    ).orderBy("vec_id")
+
+
+_SQL_EMBEDDING_DECONTAMINATE = """
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings),
+b AS (
+  SELECT vec_id AS bench_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS bv
+  FROM embeddings WHERE vec_id % 37 = 0),
+p AS (
+  SELECT c.vec_id,
+         round(
+           list_reduce(list_transform(range(1, 65), i -> cv[i] * bv[i]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, 65),
+                                              i -> cv[i] * cv[i]),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, 65),
+                                                i -> bv[i] * bv[i]),
+                                 (x, y) -> x + y))), 6) AS score
+  FROM c CROSS JOIN b),
+h AS (SELECT vec_id, count(*)::BIGINT AS n_hits
+      FROM p WHERE score >= 999000 / 1000000.0 GROUP BY vec_id)
+SELECT c.vec_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(n_hits, 0) > 0)::INT AS contaminated
+FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -5245,6 +5442,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sessions": _q_transcript_sessions,
         "transcript_prefix_dedup": _q_transcript_prefix_dedup,
         "transcript_truncate": _q_transcript_truncate,
+        # r5 session 4: DSIR hashed-ngram importance resampling (Xie et
+        # al. 2023) — bucket-capped count aggs + bounded broadcast
+        "dsir_importance": _q_dsir_importance,
+        "dsir_resample": _q_dsir_resample,
+        # r5 session 4: trigram Stupid Backoff LM (Brants et al. 2007)
+        # — held-out-trained so the backoff branches are live
+        "stupid_backoff_lm": _q_stupid_backoff,
+        # r5 session 4: embedding-level benchmark decontamination —
+        # SRP-banded plan vs exact brute-force DuckDB oracle
+        "embedding_decontaminate": _q_embedding_decontaminate,
     }
 
 
@@ -5347,4 +5554,8 @@ def oracle_sql() -> dict[str, str]:
         "transcript_sessions": _SQL_TRANSCRIPT_SESSIONS,
         "transcript_prefix_dedup": _SQL_TRANSCRIPT_PREFIX_DEDUP,
         "transcript_truncate": _SQL_TRANSCRIPT_TRUNCATE,
+        "dsir_importance": _SQL_DSIR_IMPORTANCE,
+        "dsir_resample": _SQL_DSIR_RESAMPLE,
+        "stupid_backoff_lm": _SQL_STUPID_BACKOFF,
+        "embedding_decontaminate": _SQL_EMBEDDING_DECONTAMINATE,
     }

@@ -97,6 +97,12 @@ HEADLINE = [
     "transcript_sessions",
     "transcript_prefix_dedup",
     "transcript_truncate",
+    # r5 session 4: DSIR importance resampling (Xie et al. 2023),
+    # trigram Stupid Backoff LM (Brants et al. 2007), embedding-level
+    # benchmark decontamination (SRP-banded plan)
+    "dsir_importance",
+    "stupid_backoff_lm",
+    "embedding_decontaminate",
 ]
 
 

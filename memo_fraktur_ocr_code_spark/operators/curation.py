@@ -714,3 +714,162 @@ def normalize_unicode(
         .otherwise(1)
         .alias("changed"),
     )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """``(id, bucket)`` rows — one per unigram AND bigram OCCURRENCE of
+    the whitespace-tokenized lowercased text, hashed into a FIXED
+    number of buckets (first 32 bits of ``md5('salt:gram')`` mod
+    ``n_buckets``) — the hashed bag-of-ngrams featurization of DSIR
+    (Xie et al., NeurIPS 2023, §3: unigrams+bigrams hashed to 10^4
+    buckets).  md5 (not xxhash64) so the DuckDB oracle recomputes the
+    identical bucket from the same hex digits (:func:`_md5_mod`).
+
+    Scale shape: pure scan-side row amplification (split + explode +
+    one JVM md5 per occurrence), never a shuffle of its own; the whole
+    point of hashing is that every downstream aggregate is bounded at
+    ``n_buckets`` rows no matter the corpus size."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    uni = base.select("id", F.explode("ts").alias("g"))
+    bi = base.where(F.size("ts") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> concat(ts[i-1], ' ', ts[i]))"
+            )
+        ).alias("g"),
+    )
+    return uni.unionByName(bi).select(
+        "id", _md5_mod(F.col("g"), salt, n_buckets).alias("bucket")
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance signal for data selection (Xie et al.,
+    NeurIPS 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw-corpus document by how much more
+    typical its hashed-ngram features are of the TARGET distribution
+    than of the RAW distribution.  Both distributions are bucket
+    multinomials with add-one smoothing estimated from occurrence
+    counts; the per-document score is the feature inner product
+
+        ``dsir_ppm = sum over feature occurrences of
+                     (ppm_target[bucket] - ppm_raw[bucket])``
+
+    with ``ppm = (count + 1) * 1e6 DIV (total + n_buckets)``.  Integer
+    ppm DIFFERENCES stand in for the paper's log-probability ratios
+    (same monotone per-feature direction, same sum-over-occurrences
+    aggregation): log/exp differ across libm implementations in the
+    last ulp while integer ratio+sum is associative and
+    engine-portable bit for bit — the precedent set by
+    ``textstats.bigram_lm_score``.  Deviation is documented, not
+    hidden: rankings agree with the log formulation when bucket
+    probabilities are within a small dynamic range, and diverge when a
+    single rare bucket dominates (log amplifies rare-bucket evidence).
+
+    Output: ``(id_col, n_feats, dsir_ppm)`` for EVERY raw document
+    (docs with no tokens score 0 with ``n_feats = 0`` — kept, typed
+    bigint on both engines).
+
+    Scale shape (the 100 TB story): two occurrence-count aggregations
+    whose key space is CAPPED at ``n_buckets`` (map-side combine
+    absorbs essentially everything — the reduce side moves at most
+    ``n_buckets`` rows per side); the per-bucket score table is at most
+    ``n_buckets`` rows BY CONSTRUCTION, so broadcasting it is forced
+    safely (unlike ``decontaminate``'s bench-gram set, whose size is
+    data-dependent and stays unhinted); the per-doc score is one
+    groupBy over the feature stream.  Nothing anywhere scales worse
+    than linearly in corpus size, and no state exceeds ``n_buckets``
+    rows."""
+    fr = hashed_ngram_features(raw, id_col, text_col, n_buckets, salt)
+    ft = hashed_ngram_features(target, id_col, text_col, n_buckets, salt)
+    cr = fr.groupBy("bucket").agg(F.count("*").alias("cr"))
+    ct = ft.groupBy("bucket").agg(F.count("*").alias("ct"))
+    nr = cr.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("nr")
+    )
+    nt = ct.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("nt")
+    )
+    tbl = (
+        cr.join(ct, "bucket", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    "(coalesce(ct, CAST(0 AS BIGINT)) + 1) * 1000000"
+                    f" DIV (nt + {n_buckets})"
+                )
+                - F.expr(f"(cr + 1) * 1000000 DIV (nr + {n_buckets})")
+            ).alias("dppm"),
+        )
+    )
+    per_doc = (
+        fr.join(F.broadcast(tbl), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("dppm").alias("dsir_ppm"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_feats", F.lit(0).cast("bigint")).alias(
+                "n_feats"
+            ),
+            F.coalesce("dsir_ppm", F.lit(0).cast("bigint")).alias(
+                "dsir_ppm"
+            ),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    keep_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The selection half of DSIR: keep the ``keep_n`` raw documents
+    with the highest importance signal.  Deterministic top-k under the
+    total order ``(dsir_ppm DESC, id ASC)`` — a reproducibility
+    deviation from the paper's Gumbel-noised resampling (Xie et al.
+    2023 §3 samples WITHOUT replacement via perturbed weights); noised
+    selection cannot be byte-reproduced across engines, and the
+    deterministic top-k is the limit of their scheme as the noise
+    scale goes to 0.
+
+    Scale: Spark plans ``orderBy(...).limit(k)`` as TakeOrdered — a
+    per-partition top-k then a single k-row merge on the driver, never
+    a global sort."""
+    scored = dsir_importance(
+        raw, target, id_col, text_col, n_buckets, salt
+    )
+    return scored.orderBy(
+        F.col("dsir_ppm").desc(), F.col(id_col).asc()
+    ).limit(int(keep_n))

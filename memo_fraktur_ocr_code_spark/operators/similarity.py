@@ -574,3 +574,111 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    bench: DataFrame,
+    dim: int,
+    tau_e6: int = 999000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    bits: int = 24,
+    bands: int = 6,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus vectors
+    whose cosine against ANY benchmark/eval vector reaches
+    ``tau_e6 / 1e6`` — the semantic complement of the 13-gram text
+    decontamination in ``curation.decontaminate`` (n-gram overlap
+    misses paraphrases and re-encodings; embedding similarity catches
+    them).  Output: ``(id_col, n_hits, contaminated)`` for EVERY corpus
+    vector, ``n_hits`` = number of bench vectors at or above the
+    threshold on the 6-dp-quantized score (quantized exactly like
+    ``cosine_topk``, so both engines compare the same value).
+
+    ``method='brute'``: corpus × broadcast(bench) nested loop — the
+    exact baseline the DuckDB oracle mirrors; cost is |corpus|·|bench|
+    dot products, fine while the bench set is small.
+
+    ``method='srp'``: the scale path — both sides SRP-banded
+    (signatures via the Arrow twin, byte-equal to the Catalyst fold);
+    candidates come from a band equi-join against the broadcast bench
+    band table, exact verify only on candidates, so per-corpus-row cost
+    is ~bands hash probes instead of |bench| dot products.  For
+    EXACT OR SCALED copies the band join has GUARANTEED recall:
+    ``sign(w . a*v) = sign(w . v)`` for any a > 0, so a copy's
+    signature — hence every band — is identical and the pair always
+    surfaces (the planted-contamination shape; near-copies at cos≈0.999
+    carry the usual ``1-(1-p^band_bits)^bands`` candidate recall).
+    Duplicate band hits are collapsed AFTER the (rare) threshold
+    filter, so the distinct shuffles contamination hits, not
+    candidates.
+
+    Scale shape: bench is broadcast in both methods — bounded by the
+    eval-suite size the way the DSIR bucket table is bounded by
+    ``n_buckets`` (embedding decks are 10^4-10^6 rows; if a bench set
+    ever outgrew the broadcast ceiling the band join composes with a
+    shuffle join by dropping the hint).  The corpus side streams off
+    the scan either way; the per-id rollup aggregates hits only."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double_array(vec_col).alias("cv")
+    ).withColumn("nc", _norm(F.col("cv")))
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        _as_double_array(vec_col).alias("bv"),
+    ).withColumn("nb", _norm(F.col("bv")))
+    score = F.round(
+        _dot(F.col("cv"), F.col("bv")) / (F.col("nc") * F.col("nb")), 6
+    )
+    tau = F.lit(int(tau_e6)) / F.lit(1000000.0)
+    if method == "brute":
+        hits = (
+            c.crossJoin(F.broadcast(b))
+            .select("id", "bench_id", score.alias("score"))
+            .where(F.col("score") >= tau)
+            .select("id", "bench_id")
+        )
+    elif method == "srp":
+        assert bits % bands == 0, "bits must split evenly into bands"
+        band_bits = bits // bands
+        sig_fn = _srp_signature_arrow(dim, bits)
+        cs = c.withColumn("csig", sig_fn(F.col("cv"))).select(
+            "id",
+            "cv",
+            "nc",
+            F.posexplode(
+                _band_keys(F.col("csig"), bands, band_bits)
+            ).alias("band", "key"),
+        )
+        bs = b.withColumn("bsig", sig_fn(F.col("bv"))).select(
+            "bench_id",
+            "bv",
+            "nb",
+            F.posexplode(
+                _band_keys(F.col("bsig"), bands, band_bits)
+            ).alias("band", "key"),
+        )
+        hits = (
+            cs.join(F.broadcast(bs), ["band", "key"])
+            .select("id", "bench_id", score.alias("score"))
+            .where(F.col("score") >= tau)
+            .select("id", "bench_id")
+            .distinct()  # collapse multi-band duplicates (hits only)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    n_hits = hits.groupBy("id").agg(F.count("*").alias("n_hits"))
+    return (
+        c.select("id")
+        .join(n_hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            (F.coalesce("n_hits", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

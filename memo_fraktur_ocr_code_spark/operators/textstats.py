@@ -410,3 +410,161 @@ def tfidf_topk_terms(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trigram language-model quality signal with Stupid Backoff
+    (Brants et al., EMNLP 2007 §4 — the web-scale LM smoothing that
+    deliberately drops normalization so counts need only ONE pass):
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)        if seen
+                      = 0.4 * c(w2 w3) / c(w2)         else if seen
+                      = 0.4^2 * c(w3) / N              else
+
+    scored per trigram position in integer ppm (0.4 = ``*2 DIV 5``,
+    0.4^2 = ``*4 DIV 25`` — no floats, no libm, engine-portable bit for
+    bit), averaged per document: ``(id, n_scored, sb_ppm)`` with
+    ``sb_ppm = sum(s) DIV n_scored`` and docs under 3 tokens scoring 0.
+    Counts are trained on ``train`` (default: the corpus itself — then
+    every trigram is seen and backoff is dead; pass a held-out or
+    earlier-epoch slice to exercise it, as the driver query does).
+
+    Deepens the CCNet story started by ``bigram_lm_score``: CCNet
+    (Wenzek et al. 2020) filters on a 5-gram KenLM; a trigram model
+    with the published web-scale backoff is the same signal family
+    with state that still fits a count table.
+
+    Scale shape: three count aggregations over Zipf-skewed gram keys
+    (map-side combine absorbs the head) + five left joins of the
+    positions table against them, all UNHINTED — AQE broadcasts the
+    count tables while they fit and shuffle-joins on the gram key at
+    corpus scale, the same no-assumptions plan as bigram_lm_score; the
+    positions table is scan-side row amplification; one single-row
+    total broadcast."""
+    toks = _ws_tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    tbase = (
+        base
+        if train is None
+        else train.select(F.col(id_col).alias("id"), toks.alias("ts"))
+    )
+    pos = base.where(F.size("ts") >= 3).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(ts) - 1), i ->"
+                " struct(ts[i-2] AS w1, ts[i-1] AS w2, ts[i] AS w3))"
+            )
+        ).alias("p"),
+    ).select("id", "p.w1", "p.w2", "p.w3")
+    t_uni = (
+        tbase.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    t_bi = (
+        tbase.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), i ->"
+                    " struct(ts[i-1] AS a, ts[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cb"))
+    )
+    t_tri = (
+        tbase.where(F.size("ts") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts) - 1), i ->"
+                    " struct(ts[i-2] AS a, ts[i-1] AS b, ts[i] AS c))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.c")
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("ct"))
+    )
+    n_tok = tbase.select(F.explode("ts").alias("w")).agg(
+        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("n_tok")
+    )
+    j = (
+        pos.join(
+            t_tri.select(
+                F.col("a").alias("w1"),
+                F.col("b").alias("w2"),
+                F.col("c").alias("w3"),
+                F.col("ct").alias("c3"),
+            ),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            t_bi.select(
+                F.col("a").alias("w1"),
+                F.col("b").alias("w2"),
+                F.col("cb").alias("cctx2"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            t_bi.select(
+                F.col("a").alias("w2"),
+                F.col("b").alias("w3"),
+                F.col("cb").alias("c2"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            t_uni.select(F.col("w").alias("w2"), F.col("cu").alias("cctx1")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            t_uni.select(F.col("w").alias("w3"), F.col("cu").alias("c1")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tok))
+    )
+    s = F.expr(
+        "CASE WHEN coalesce(c3, CAST(0 AS BIGINT)) > 0"
+        "       THEN c3 * 1000000 DIV cctx2"
+        "     WHEN coalesce(c2, CAST(0 AS BIGINT)) > 0"
+        "       THEN 2 * (c2 * 1000000 DIV cctx1) DIV 5"
+        "     ELSE 4 * (coalesce(c1, CAST(0 AS BIGINT)) * 1000000"
+        "               DIV greatest(n_tok, 1)) DIV 25 END"
+    )
+    per_doc = (
+        j.select("id", s.alias("s"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.expr("sum(s) DIV count(*)").alias("sb_ppm"),
+        )
+    )
+    return (
+        base.select("id")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_scored", F.lit(0).cast("bigint")).alias(
+                "n_scored"
+            ),
+            F.coalesce("sb_ppm", F.lit(0).cast("bigint")).alias(
+                "sb_ppm"
+            ),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Unit tests for the r5-session-4 data-selection operators: DSIR
+hashed-ngram importance resampling (curation.dsir_importance /
+dsir_resample), trigram Stupid Backoff LM scoring
+(textstats.stupid_backoff_score), and embedding-level benchmark
+decontamination (similarity.decontaminate_embeddings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.operators.curation import (
+    dsir_importance,
+    dsir_resample,
+    hashed_ngram_features,
+)
+from memo_fraktur_ocr_code_spark.operators.similarity import (
+    decontaminate_embeddings,
+)
+from memo_fraktur_ocr_code_spark.operators.textstats import (
+    stupid_backoff_score,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_hashed_features_counts_unigrams_plus_bigrams(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "x"), (3, "")])
+    out = hashed_ngram_features(df).groupBy("id").count().collect()
+    got = {r.id: r["count"] for r in out}
+    # doc 1: 3 unigrams + 2 bigrams; doc 2: 1 unigram; doc 3: nothing
+    assert got == {1: 5, 2: 1}
+
+
+def test_hashed_features_bucket_range_and_determinism(spark):
+    df = _docs(spark, [(1, "alpha beta gamma delta")])
+    a = hashed_ngram_features(df, n_buckets=64).collect()
+    b = hashed_ngram_features(df, n_buckets=64).collect()
+    assert sorted(r.bucket for r in a) == sorted(r.bucket for r in b)
+    assert all(0 <= r.bucket < 64 for r in a)
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    # target speaks "ocean" vocabulary; raw mixes ocean docs with
+    # unrelated ones — the ocean docs must outscore the others AT EQUAL
+    # LENGTH (the score sums per-occurrence evidence, so it is
+    # length-sensitive by design, exactly like the paper's
+    # log-likelihood-ratio sum; comparisons hold length fixed).
+    # n_buckets is kept well under the corpus totals — with totals <<
+    # n_buckets the add-one smoothing floor swamps the count signal
+    # (at corpus scale totals >> buckets always holds).
+    ocean = "waves tide coral reef current salt waves tide"
+    other = "gears pistons torque flywheel camshaft valves engine oil"
+    raw = _docs(
+        spark,
+        [
+            (1, ocean),
+            (2, other),
+            (3, ocean + " " + ocean),
+            (4, other + " " + other),
+        ],
+    )
+    target = _docs(spark, [(10, ocean), (11, "tide coral waves salt")])
+    scored = {
+        r.doc_id: r.dsir_ppm
+        for r in dsir_importance(raw, target, n_buckets=16).collect()
+    }
+    assert scored[1] > scored[2]
+    assert scored[3] > scored[4]
+
+
+def test_dsir_scores_every_raw_doc_including_empty(spark):
+    raw = _docs(spark, [(1, "a b"), (2, ""), (3, None)])
+    target = _docs(spark, [(9, "a b")])
+    out = dsir_importance(raw, target).collect()
+    got = {r.doc_id: (r.n_feats, r.dsir_ppm) for r in out}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_dsir_resample_keeps_topk_deterministically(spark):
+    ocean = "waves tide coral reef"
+    raw = _docs(
+        spark,
+        [(i, ocean if i % 2 == 0 else "gears pistons torque flywheel")
+         for i in range(10)],
+    )
+    target = _docs(spark, [(99, ocean)])
+    kept = dsir_resample(raw, target, keep_n=5, n_buckets=256).collect()
+    assert [r.doc_id for r in kept] == [0, 2, 4, 6, 8]
+
+
+def test_dsir_empty_target_still_scores(spark):
+    raw = _docs(spark, [(1, "a b c")])
+    target = _docs(spark, [(9, "x")]).where(F.lit(False))
+    out = dsir_importance(raw, target).collect()
+    assert len(out) == 1  # smoothed target ppm, no crash on nt=0
+
+
+# ------------------------------------------------- Stupid Backoff LM
+
+
+def test_stupid_backoff_trigram_hit_beats_backoff(spark):
+    train = _docs(spark, [(1, "a b c a b c a b c")])
+    score = _docs(
+        spark,
+        [
+            (10, "a b c"),   # seen trigram → direct ratio
+            (11, "c c b"),   # unseen trigram AND unseen bigrams → 0.16 path
+        ],
+    )
+    out = {
+        r.doc_id: r.sb_ppm
+        for r in stupid_backoff_score(score, train=train).collect()
+    }
+    assert out[10] > out[11] > 0
+
+
+def test_stupid_backoff_short_docs_score_zero(spark):
+    d = _docs(spark, [(1, "a b"), (2, ""), (3, None)])
+    out = stupid_backoff_score(d).collect()
+    assert all(r.n_scored == 0 and r.sb_ppm == 0 for r in out)
+
+
+def test_stupid_backoff_self_trained_trigrams_all_seen(spark):
+    # trained on itself every trigram is seen: per-position score is
+    # c3 * 1e6 DIV c(w1 w2), here 1e6 exactly for a unique sentence
+    d = _docs(spark, [(1, "p q r s")])
+    out = stupid_backoff_score(d).collect()[0]
+    assert out.n_scored == 2 and out.sb_ppm == 1000000
+
+
+def test_stupid_backoff_backoff_order(spark):
+    # unseen trigram but seen bigram must outscore unseen everything
+    train = _docs(spark, [(1, "a b x y")])
+    score = _docs(
+        spark,
+        [
+            (10, "q a b"),  # trigram unseen, bigram (a b) seen → 0.4 path
+            (11, "q q q"),  # everything unseen → 0.16 * 0 = 0
+        ],
+    )
+    out = {
+        r.doc_id: r.sb_ppm
+        for r in stupid_backoff_score(score, train=train).collect()
+    }
+    assert out[10] > out[11] == 0
+
+
+# -------------------------------------- embedding decontamination
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_decontaminate_brute_flags_scaled_copies(spark):
+    base = [float(i % 7 + 1) for i in range(8)]
+    other = [float((i * 3) % 5 + 1) for i in range(8)]
+    corpus = _vecs(spark, [(1, base), (2, other)])
+    bench = _vecs(spark, [(100, [x * 2.0 for x in base])])
+    out = {
+        r.vec_id: (r.n_hits, r.contaminated)
+        for r in decontaminate_embeddings(
+            corpus, bench, dim=8, method="brute"
+        ).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+
+
+def test_embedding_decontaminate_srp_matches_brute_on_planted(spark):
+    # scaled copies have identical SRP signatures (sign(w.av)=sign(w.v))
+    # → the banded path has guaranteed recall on every planted hit
+    import random
+
+    rng = random.Random(5)
+    corpus_rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+    ]
+    corpus = _vecs(spark, corpus_rows)
+    bench = _vecs(
+        spark,
+        [(100 + i, [x * 3.0 for x in v]) for i, v in corpus_rows if i % 9 == 0],
+    )
+    brute = decontaminate_embeddings(
+        corpus, bench, dim=16, method="brute"
+    ).collect()
+    srp = decontaminate_embeddings(
+        corpus, bench, dim=16, method="srp", bits=24, bands=6
+    ).collect()
+    as_map = lambda rows: {r.vec_id: (r.n_hits, r.contaminated) for r in rows}
+    assert as_map(brute) == as_map(srp)
+    assert sum(r.contaminated for r in brute) == 5  # ids 0,9,18,27,36
+
+
+def test_embedding_decontaminate_unknown_method(spark):
+    corpus = _vecs(spark, [(1, [1.0, 2.0])])
+    try:
+        decontaminate_embeddings(corpus, corpus, dim=2, method="nope")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

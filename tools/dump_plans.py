@@ -165,6 +165,37 @@ def main():
         "conversation-sized signature table (corpus-of-turns never "
         "shuffles twice).",
     )
+    add(
+        "DSIR importance resampling (dsir_importance)",
+        e.extra_queries()["dsir_importance"](spark, sf),
+        "Both corpus-sized aggregations key on the hashed bucket — "
+        "reduce cardinality CAPPED at n_buckets by construction, so "
+        "map-side combine absorbs essentially all rows; the per-bucket "
+        "score table is a BroadcastExchange that can never exceed "
+        "n_buckets rows (a SAFE forced broadcast, unlike a "
+        "data-dependent gram set); the feature stream is posexplode "
+        "off the scan, never a shuffle of its own.",
+    )
+    add(
+        "Trigram Stupid Backoff LM (stupid_backoff_lm)",
+        e.extra_queries()["stupid_backoff_lm"](spark, sf),
+        "Three Zipf-keyed count aggregations (uni/bi/trigram) with "
+        "partial map-side combine + five UNHINTED left joins of the "
+        "positions stream against them — AQE broadcasts the count "
+        "tables while they fit and shuffle-joins on the gram key at "
+        "corpus scale; the single-row token total is a broadcast "
+        "nested-loop of one row.",
+    )
+    add(
+        "Embedding-level decontamination (embedding_decontaminate)",
+        e.extra_queries()["embedding_decontaminate"](spark, sf),
+        "The REGISTERED plan is the SRP scale path: corpus vectors "
+        "hash to banded signatures map-side (Arrow twin of the "
+        "Catalyst fold), candidates come from a band equi-join against "
+        "the BROADCAST bench band table, and only above-threshold hits "
+        "reach the distinct + per-id rollup — per-corpus-row cost is "
+        "~bands hash probes, not |bench| dot products.",
+    )
 
     out = (
         "# Physical plan audits (`.explain('formatted')`, local[4],"

@@ -2552,7 +2552,11 @@ def _q_dedup_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_SQL_DEDUP_CLUSTERS = """
+#: Shared recursive-CTE chain ending in ``comp(id, m)`` (transitive
+#: closure over the capped char-12-gram Jaccard edge set) — ONE
+#: definition for the dedup_clusters and cluster_cap_sample oracles so
+#: the edge/component spec cannot desynchronize between them.
+_SQL_CLUSTER_COMP_CTES = """
 WITH RECURSIVE docs_n AS (
   SELECT doc_id AS id,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -2587,13 +2591,33 @@ reach AS (
   SELECT u, v FROM edges
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-comp AS (SELECT u AS id, min(v) AS m FROM reach GROUP BY u)
+comp AS (SELECT u AS id, min(v) AS m FROM reach GROUP BY u)"""
+
+_SQL_DEDUP_CLUSTERS = f"""{_SQL_CLUSTER_COMP_CTES}
 SELECT d.doc_id,
        least(coalesce(c.m, d.doc_id), d.doc_id) AS cluster_id,
        CASE WHEN least(coalesce(c.m, d.doc_id), d.doc_id) = d.doc_id
             THEN 1 ELSE 0 END AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+_SQL_CLUSTER_CAP = f"""{_SQL_CLUSTER_COMP_CTES},
+assigned AS (
+  SELECT d.doc_id,
+         least(coalesce(c.m, d.doc_id), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+rk AS (
+  SELECT doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT
+           AS cluster_size,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY doc_id)::BIGINT
+           AS rank_in_cluster
+  FROM assigned)
+SELECT doc_id, cluster_id, cluster_size, rank_in_cluster,
+       (rank_in_cluster <= 2)::INT AS keep
+FROM rk ORDER BY doc_id
 """
 
 
@@ -5234,6 +5258,70 @@ FROM c LEFT JOIN h USING (vec_id) ORDER BY vec_id
 """
 
 
+def _q_cluster_cap_sample(spark, sf_dir):
+    """Cluster-size-capped soft dedup (dedup.cap_cluster_sizes): the
+    same capped-Jaccard connected components as dedup_clusters, but
+    keeping up to 2 members per duplicate cluster instead of 1 —
+    bounded natural duplication retained, pathological clusters still
+    cut.  Keep-everything contract with deterministic in-cluster ranks
+    (ordered by doc_id, a total order)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        cap_cluster_sizes,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=12, threshold=0.7, max_df=20)
+    cc = connected_components(
+        pairs, vertices=docs.select(F.col("doc_id").alias("id"))
+    )
+    return (
+        cap_cluster_sizes(cc, max_per_cluster=2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain sampling shares (alpha = 1/2; XLM-R,
+    Conneau et al. 2020 §3): q_d ∝ sqrt(p_d) over per-source token
+    shares.  sqrt and multiply are correctly rounded under IEEE 754 —
+    bit-identical across engines — and the normalizing sum folds in
+    domain order on BOTH sides (float addition is non-associative, so
+    an unordered sum would be partitioning-dependent)."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        temperature_mix_weights,
+    )
+
+    return temperature_mix_weights(
+        _t(spark, sf_dir, "documents"), alpha_quarters=2
+    ).orderBy("domain")
+
+
+_SQL_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens FROM per),
+sc AS (SELECT domain, n_docs, n_tokens, tot_tokens,
+              sqrt(n_tokens::DOUBLE / tot_tokens::DOUBLE) AS palpha
+       FROM per CROSS JOIN tot),
+nrm AS (SELECT list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(domain := domain,
+                                              palpha := palpha))),
+                   s -> s.palpha),
+                 (x, y) -> x + y) AS tot_alpha
+        FROM sc)
+SELECT domain, n_docs, n_tokens,
+       (n_tokens * 1000000 // tot_tokens)::BIGINT AS share_ppm,
+       round(1000000.0 * palpha / tot_alpha)::BIGINT AS temp_ppm
+FROM sc CROSS JOIN nrm ORDER BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -5452,6 +5540,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 4: embedding-level benchmark decontamination —
         # SRP-banded plan vs exact brute-force DuckDB oracle
         "embedding_decontaminate": _q_embedding_decontaminate,
+        # r5 session 4: cluster-size-capped soft dedup + XLM-R
+        # temperature-scaled domain mixing (IEEE-exact sqrt chain,
+        # domain-ordered float fold)
+        "cluster_cap_sample": _q_cluster_cap_sample,
+        "temperature_mix": _q_temperature_mix,
     }
 
 
@@ -5558,4 +5651,6 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _SQL_DSIR_RESAMPLE,
         "stupid_backoff_lm": _SQL_STUPID_BACKOFF,
         "embedding_decontaminate": _SQL_EMBEDDING_DECONTAMINATE,
+        "cluster_cap_sample": _SQL_CLUSTER_CAP,
+        "temperature_mix": _SQL_TEMPERATURE_MIX,
     }

@@ -103,6 +103,10 @@ HEADLINE = [
     "dsir_importance",
     "stupid_backoff_lm",
     "embedding_decontaminate",
+    # r5 session 4 (cont.): cluster-capped soft dedup + XLM-R
+    # temperature mixing
+    "cluster_cap_sample",
+    "temperature_mix",
 ]
 
 

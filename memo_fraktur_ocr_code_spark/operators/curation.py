@@ -873,3 +873,88 @@ def dsir_resample(
     return scored.orderBy(
         F.col("dsir_ppm").desc(), F.col(id_col).asc()
     ).limit(int(keep_n))
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha_quarters: int = 2,
+) -> DataFrame:
+    """Temperature-scaled multinomial domain sampling (Lample & Conneau
+    2019 §3.1; XLM-R, Conneau et al. 2020 §3): sample domains with
+    ``q_d ∝ p_d^alpha`` where ``p_d`` is the domain's token share —
+    ``alpha < 1`` flattens the mix toward low-resource domains without
+    the hard pinning of an explicit target table
+    (:func:`domain_mix_weights` is the pinned-shares sibling).
+
+    Engine-portability design: ``alpha`` is restricted to quarters
+    (``alpha_quarters``/4 ∈ {1/4, 1/2, 3/4, 1}) because ``p^alpha``
+    is then a chain of IEEE-754 ``sqrt`` and multiply — BOTH correctly
+    rounded, so Spark and DuckDB produce bit-identical doubles — while
+    ``pow``/``exp``/``log`` differ across libm implementations in the
+    last ulp.  The normalizing sum over domains is folded IN DOMAIN
+    ORDER on both engines (array_sort + aggregate here, list_sort +
+    list_reduce there): float addition is non-associative, so an
+    unordered SQL ``sum()`` over the domain table would be
+    partitioning-dependent.  Output shares are rounded to integer ppm.
+
+    Output per domain: ``(domain, n_docs, n_tokens, share_ppm,
+    temp_ppm)`` — raw token share and temperature-scaled sampling share
+    (both ppm; ``temp_ppm`` sums to ~1e6 up to rounding).
+
+    Scale: one domain-keyed aggregation (map-side combine; |domains|
+    groups) + one single-row broadcast of the sorted fold — nothing
+    scales with corpus rows except the scan."""
+    if alpha_quarters not in (1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be 1..4 (alpha = k/4)")
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        _ws_tokens,
+    )
+
+    toks = F.size(_ws_tokens(text_col))
+    per_dom = (
+        df.select(F.col(domain_col).alias("domain"), toks.alias("nt"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    totals = per_dom.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast(
+        "double"
+    )
+
+    def _palpha(x):
+        # x^(k/4) via sqrt chains: k=1 → sqrt(sqrt(x)), k=2 → sqrt(x),
+        # k=3 → sqrt(x)*sqrt(sqrt(x)), k=4 → x
+        r2 = F.sqrt(x)
+        r4 = F.sqrt(r2)
+        return {1: r4, 2: r2, 3: r2 * r4, 4: x}[alpha_quarters]
+
+    scored = per_dom.crossJoin(F.broadcast(totals)).withColumn(
+        "palpha", _palpha(p)
+    )
+    # normalizer folded in domain order — deterministic float sum
+    norm = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("domain", "palpha"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["palpha"],
+        ).alias("tot_alpha")
+    )
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV tot_tokens").alias(
+                "share_ppm"
+            ),
+            F.round(F.lit(1000000.0) * F.col("palpha") / F.col("tot_alpha"))
+            .cast("bigint")
+            .alias("temp_ppm"),
+        )
+    )

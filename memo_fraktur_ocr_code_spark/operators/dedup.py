@@ -24,7 +24,7 @@ across runs and executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Fixed odd LCG multipliers for MinHash permutations (seeded,
@@ -1261,4 +1261,47 @@ def substring_span_stats(
                 "(10000 * coalesce(dup_tokens, 0)) div n_tokens"
             )).otherwise(F.lit(0)).cast("long").alias("dup_bp"),
         )
+    )
+
+
+def cap_cluster_sizes(
+    members: DataFrame,
+    max_per_cluster: int,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Soft dedup: keep at most ``max_per_cluster`` members of every
+    duplicate cluster — the generalization of one-per-cluster
+    canonicalization (``connected_components``'s keep = this at
+    ``max_per_cluster=1``).  Hard dedup erases natural duplication
+    entirely; capping preserves a bounded amount of it while still
+    removing the pathological 10^5-copy clusters that dominate crawl
+    corpora (the over-representation problem motivating SemDeDup /
+    Lee et al. 2022's dedup-then-sample discussions).
+
+    Input: ``(id_col, cluster_col)`` membership rows (e.g. the output
+    of :func:`connected_components`).  Output per member: cluster size,
+    deterministic ``rank_in_cluster`` (ordered by member id — a total
+    order, so every engine and partitioning elects the same survivors),
+    and the 0/1 ``keep`` verdict.  Keep-everything contract: no row is
+    dropped, the verdict is a column.
+
+    Scale: ONE hash exchange on cluster_id feeding both the size count
+    and the rank window (same partitioning, no second shuffle); cluster
+    sizes are dedup-output-sized, not corpus-sized, and the window's
+    per-group state is a row counter."""
+    if max_per_cluster < 1:
+        raise ValueError("max_per_cluster must be >= 1")
+    w = Window.partitionBy(cluster_col)
+    wr = w.orderBy(F.col(id_col).asc())
+    return members.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.count("*").over(w).alias("cluster_size"),
+        F.row_number().over(wr).cast("bigint").alias(
+            "rank_in_cluster"
+        ),
+    ).withColumn(
+        "keep",
+        (F.col("rank_in_cluster") <= max_per_cluster).cast("int"),
     )

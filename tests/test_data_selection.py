@@ -205,3 +205,93 @@ def test_embedding_decontaminate_unknown_method(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ---------------------------------- cluster capping + temperature mix
+
+
+def test_cap_cluster_sizes_keeps_m_smallest_ids(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        cap_cluster_sizes,
+    )
+
+    members = spark.createDataFrame(
+        [(5, 1), (3, 1), (9, 1), (7, 7), (2, 2), (4, 2)],
+        "id bigint, cluster_id bigint",
+    )
+    out = {
+        r.id: (r.cluster_size, r.rank_in_cluster, r.keep)
+        for r in cap_cluster_sizes(members, 2).collect()
+    }
+    assert out[3] == (3, 1, 1) and out[5] == (3, 2, 1)
+    assert out[9] == (3, 3, 0)  # third member of a capped-at-2 cluster
+    assert out[7] == (1, 1, 1)  # singleton survives
+    assert out[2] == (2, 1, 1) and out[4] == (2, 2, 1)
+
+
+def test_cap_cluster_sizes_m1_equals_canonicalization(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        cap_cluster_sizes,
+    )
+
+    members = spark.createDataFrame(
+        [(5, 1), (1, 1), (2, 2)], "id bigint, cluster_id bigint"
+    )
+    kept = {
+        r.id
+        for r in cap_cluster_sizes(members, 1).collect()
+        if r.keep == 1
+    }
+    assert kept == {1, 2}  # exactly the cluster minima
+
+
+def test_cap_cluster_sizes_validates_m(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        cap_cluster_sizes,
+    )
+
+    try:
+        cap_cluster_sizes(spark.range(1), 0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        temperature_mix_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("big", "w " * 90), ("small", "w " * 10)],
+        "source string, text string",
+    )
+    out = {
+        r.domain: (r.share_ppm, r.temp_ppm)
+        for r in temperature_mix_weights(df, alpha_quarters=2).collect()
+    }
+    # alpha=1/2: q_big = 3/4, q_small = 1/4 (sqrt(.9):sqrt(.1) = 3:1)
+    assert out["big"][0] == 900000 and out["small"][0] == 100000
+    assert out["big"][1] == 750000 and out["small"][1] == 250000
+
+
+def test_temperature_mix_alpha_identity_and_validation(spark):
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        temperature_mix_weights,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "w " * 30), ("b", "w " * 10)],
+        "source string, text string",
+    )
+    out = {
+        r.domain: r.temp_ppm
+        for r in temperature_mix_weights(df, alpha_quarters=4).collect()
+    }
+    # alpha=1 is the identity: temperature shares == raw shares
+    assert out == {"a": 750000, "b": 250000}
+    try:
+        temperature_mix_weights(df, alpha_quarters=5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -5322,6 +5322,53 @@ FROM sc CROSS JOIN nrm ORDER BY domain
 """
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature sampling applied per document
+    (curation.sample_to_temperature): every over-represented domain is
+    deterministically down-sampled to the alpha=1/2 temperature share
+    via md5 buckets — the end-to-end mixing step (weights →
+    actually-sampled corpus), keep-everything with auditable
+    (bucket, rate_bp) evidence per document."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        sample_to_temperature,
+    )
+
+    return sample_to_temperature(
+        _t(spark, sf_dir, "documents"), alpha_quarters=2
+    ).orderBy("doc_id")
+
+
+_SQL_TEMPERATURE_SAMPLE = f"""
+WITH per AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens FROM per),
+sc AS (SELECT domain, n_tokens, tot_tokens,
+              sqrt(n_tokens::DOUBLE / tot_tokens::DOUBLE) AS palpha
+       FROM per CROSS JOIN tot),
+nrm AS (SELECT list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(domain := domain,
+                                              palpha := palpha))),
+                   s -> s.palpha),
+                 (x, y) -> x + y) AS tot_alpha
+        FROM sc),
+w AS (SELECT domain,
+             least(round(1000000.0 * palpha / tot_alpha)::BIGINT
+                     * 10000
+                     // greatest(n_tokens * 1000000 // tot_tokens, 1),
+                   10000)::BIGINT AS rate_bp
+      FROM sc CROSS JOIN nrm)
+SELECT d.doc_id, d.source AS domain,
+       {_sql_md5_mod('temp', 10000)} AS bucket, w.rate_bp,
+       CASE WHEN {_sql_md5_mod('temp', 10000)} < w.rate_bp
+            THEN 1 ELSE 0 END AS keep
+FROM documents d JOIN w ON w.domain = d.source
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry: EXACTLY 50 entries.  The driver's correctness gate
     records only the first 50 registry entries (observed r2: positions
@@ -5545,6 +5592,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain-ordered float fold)
         "cluster_cap_sample": _q_cluster_cap_sample,
         "temperature_mix": _q_temperature_mix,
+        "temperature_sample": _q_temperature_sample,
     }
 
 
@@ -5653,4 +5701,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_decontaminate": _SQL_EMBEDDING_DECONTAMINATE,
         "cluster_cap_sample": _SQL_CLUSTER_CAP,
         "temperature_mix": _SQL_TEMPERATURE_MIX,
+        "temperature_sample": _SQL_TEMPERATURE_SAMPLE,
     }

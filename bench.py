@@ -107,6 +107,7 @@ HEADLINE = [
     # temperature mixing
     "cluster_cap_sample",
     "temperature_mix",
+    "temperature_sample",
 ]
 
 

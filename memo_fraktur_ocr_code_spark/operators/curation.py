@@ -958,3 +958,63 @@ def temperature_mix_weights(
             .alias("temp_ppm"),
         )
     )
+
+
+def sample_to_temperature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha_quarters: int = 2,
+    salt: str = "temp",
+) -> DataFrame:
+    """Apply :func:`temperature_mix_weights` to the corpus itself:
+    down-sample every OVER-represented domain to the temperature-scaled
+    share, deterministically per document (md5 bucket, the
+    :func:`stratified_sample` mechanism — reproducible across runs,
+    engines, and partitionings; no RNG state).
+
+    Per-domain keep rate in basis points:
+    ``rate_bp = min(temp_ppm * 1e4 DIV share_ppm, 1e4)`` — the ratio of
+    the temperature share to the raw share, capped at 1 (a sampling
+    pass cannot UP-sample; domains the temperature would up-weight keep
+    everything and the relative mix is achieved by the others shrinking
+    — the standard one-pass behavior; epoch-level up-sampling is a
+    repetition decision, not a filter).
+
+    Output: keep-everything — ``(id_col, domain, bucket, rate_bp,
+    keep)`` so the verdict is auditable per document.
+
+    Scale: the weights table is |domains| rows joined back broadcast
+    (bounded by construction); the per-doc work is one md5 and one
+    compare — a narrow projection off the scan."""
+    w = temperature_mix_weights(
+        df, domain_col=domain_col, text_col=text_col,
+        alpha_quarters=alpha_quarters,
+    ).select(
+        "domain",
+        F.least(
+            F.expr(
+                "temp_ppm * 10000 DIV greatest(share_ppm, CAST(1 AS"
+                " BIGINT))"
+            ),
+            F.lit(10000).cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            _md5_mod(id_col, salt, 10000).alias("bucket"),
+        )
+        .join(F.broadcast(w), "domain")
+        .select(
+            id_col,
+            "domain",
+            "bucket",
+            "rate_bp",
+            (F.col("bucket") < F.col("rate_bp")).cast("int").alias(
+                "keep"
+            ),
+        )
+    )

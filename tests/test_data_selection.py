@@ -295,3 +295,30 @@ def test_temperature_mix_alpha_identity_and_validation(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_sample_to_temperature_caps_and_keeps_underrepresented(spark):
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        sample_to_temperature,
+    )
+
+    rows = [(i, "big", "w " * 90) for i in range(30)] + [
+        (100 + i, "small", "w " * 10) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    out = sample_to_temperature(df, alpha_quarters=2).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    # big: share 0.9 → temp 0.75 → rate 8333bp (downsampled);
+    # small: share 0.1 → temp 0.25 → rate capped at 10000 (kept whole)
+    assert all(r.rate_bp == 10000 and r.keep == 1 for r in by_dom["small"])
+    big = by_dom["big"]
+    assert big[0].rate_bp == 8333
+    assert all(
+        (r.keep == 1) == (r.bucket < r.rate_bp) for r in big
+    )
+    # keep-everything contract: every input doc has a verdict row
+    assert len(out) == 60

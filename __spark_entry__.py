@@ -5442,6 +5442,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (dedup.paragraph_dedup — RefinedWeb
+    / Dolma's repeated-paragraph removal): pages are synthesized as
+    5-document bundles joined by blank lines (pure JVM expressions,
+    mirrored verbatim by the oracle's ``pages`` CTE), so the testdata's
+    planted exact-duplicate documents become duplicated paragraphs
+    inside otherwise-distinct pages — exactly the case paragraph dedup
+    exists for (document-level dedup keeps both pages, boilerplate
+    removal would delete BOTH copies)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.groupBy(F.expr("doc_id DIV 5").alias("page_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        ).alias("text")
+    )
+    return paragraph_dedup(
+        pages, id_col="page_id", text_col="text"
+    ).orderBy("page_id")
+
+
+_SQL_DEDUP_PARAGRAPHS = """
+WITH pages AS (
+  SELECT doc_id // 5 AS page_id,
+         string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY 1),
+pl AS (SELECT page_id,
+              string_split(coalesce(text, ''), chr(10) || chr(10)) AS pa
+       FROM pages),
+paras AS (
+  SELECT page_id, i AS pos, pa[i] AS para, len(pa[i]) >= 10 AS eligible
+  FROM (SELECT page_id, pa, unnest(range(1, len(pa) + 1)) AS i FROM pl)),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY eligible, para ORDER BY page_id, pos) AS rn
+  FROM paras),
+marked AS (
+  SELECT page_id, pos, para, (eligible AND rn > 1) AS drp FROM ranked)
+SELECT page_id,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT drp), '') AS clean_text,
+       count(*) FILTER (WHERE NOT drp) AS n_kept,
+       count(*) FILTER (WHERE drp) AS n_dropped
+FROM marked GROUP BY page_id ORDER BY page_id
+"""
+
+
+def _q_corpus_cube(spark, sf_dir):
+    """One-pass multi-dimensional corpus report card
+    (aggregates.corpus_cube_report): CUBE grouping sets over
+    (lang, source) — per-cell, per-lang, per-source and grand-total
+    rows from a single scan, integer-exact aggregates only."""
+    from memo_fraktur_ocr_code_spark.operators.aggregates import (
+        corpus_cube_report,
+    )
+
+    return corpus_cube_report(_t(spark, sf_dir, "documents")).orderBy(
+        "gid", "lang", "source"
+    )
+
+
+_SQL_CORPUS_CUBE = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(coalesce(n_chars, 0))::BIGINT AS sum_chars,
+       min(coalesce(n_chars, 0)) AS min_chars,
+       max(coalesce(n_chars, 0)) AS max_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY gid, lang, source
+"""
+
+
+def _q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) layout evidence (operators/layout.py): events
+    keyed by the bit-interleave of (user_id, event_id) mapped into a
+    12-bit domain, then per-'file' (equal-width key range) min/max
+    stats of BOTH dimensions — the statistics an Iceberg/Delta scan
+    planner prunes data files with after a sort-strategy rewrite."""
+    from memo_fraktur_ocr_code_spark.operators.layout import (
+        zorder_scan_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(4096)).alias("u"),
+        F.pmod(F.col("event_id"), F.lit(4096)).alias("e"),
+    )
+    return zorder_scan_stats(ev, "u", "e", bits=12, files=64).orderBy(
+        "file_id"
+    )
+
+
+_Z_INTERLEAVE_SQL = " | ".join(
+    [f"(((u >> {i}) & 1) << {2 * i + 1})" for i in range(12)]
+    + [f"(((e >> {i}) & 1) << {2 * i})" for i in range(12)]
+)
+
+_SQL_ZORDER_STATS = f"""
+WITH ev AS (
+  SELECT user_id % 4096 AS u, event_id % 4096 AS e FROM events),
+k AS (SELECT u, e, ({_Z_INTERLEAVE_SQL}) AS zkey FROM ev)
+SELECT CAST((zkey * 64) // {1 << 24} AS BIGINT) AS file_id,
+       count(*)::BIGINT AS n_rows,
+       min(u) AS min_a, max(u) AS max_a,
+       min(e) AS min_b, max(e) AS max_b
+FROM k GROUP BY file_id ORDER BY file_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -5593,6 +5711,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cap_sample": _q_cluster_cap_sample,
         "temperature_mix": _q_temperature_mix,
         "temperature_sample": _q_temperature_sample,
+        # r5 session 5: paragraph-level exact dedup (RefinedWeb/Dolma
+        # repeated-paragraph removal), CUBE grouping-set report card,
+        # Z-order (Morton) layout stats for range-scan file pruning
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "corpus_cube_report": _q_corpus_cube,
+        "zorder_stats": _q_zorder_stats,
     }
 
 
@@ -5702,4 +5826,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_cap_sample": _SQL_CLUSTER_CAP,
         "temperature_mix": _SQL_TEMPERATURE_MIX,
         "temperature_sample": _SQL_TEMPERATURE_SAMPLE,
+        "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
+        "corpus_cube_report": _SQL_CORPUS_CUBE,
+        "zorder_stats": _SQL_ZORDER_STATS,
     }

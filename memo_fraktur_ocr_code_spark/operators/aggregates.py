@@ -302,3 +302,50 @@ def mode_per_key(
             F.max("_peak").alias("mode_count"),
         )
     )
+
+
+def corpus_cube_report(
+    df: DataFrame,
+    dims: tuple[str, ...] = ("lang", "source"),
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus report card over every combination of the ``dims``
+    dimensions in ONE pass via CUBE grouping sets: per (lang, source)
+    cell, per lang, per source, and the grand total — the single-scan
+    answer to "what is in this corpus" that a mix-curation run wants
+    before weighting (``curation.domain_mix_weights`` consumes the
+    per-source marginal this report previews).
+
+    ``gid`` is the grouping-set id (bit per dimension, first dim =
+    MSB — Spark's ``grouping_id`` convention, mirrored in SQL as
+    ``grouping(d1)*2 + grouping(d2)``); rolled-up dimension values are
+    rendered as ``'(all)'`` so a real NULL cell and a rollup row stay
+    distinguishable via ``gid``.
+
+    Scale: CUBE over k dims expands each input row into 2^k grouping
+    rows BEFORE one hash aggregation — the expansion happens map-side
+    and partial-aggregates immediately, so the shuffle carries only
+    (cells × 2^k) aggregated rows, not data.  Integer-exact aggregates
+    only (counts/sums/min/max) — portable across engines.
+    """
+    cube_cols = [F.col(d) for d in dims]
+    coalesced = [
+        F.coalesce(F.col(d), F.lit("(all)")).alias(d) for d in dims
+    ]
+    return (
+        df.cube(*cube_cols)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col(chars_col), F.lit(0))).alias(
+                "sum_chars"
+            ),
+            F.min(F.coalesce(F.col(chars_col), F.lit(0))).alias(
+                "min_chars"
+            ),
+            F.max(F.coalesce(F.col(chars_col), F.lit(0))).alias(
+                "max_chars"
+            ),
+        )
+        .select(*coalesced, "gid", "n_docs", "sum_chars", "min_chars", "max_chars")
+    )

@@ -1305,3 +1305,89 @@ def cap_cluster_sizes(
         "keep",
         (F.col("rank_in_cluster") <= max_per_cluster).cast("int"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_paragraph_chars: int = 10,
+) -> DataFrame:
+    """Paragraph-level exact deduplication (RefinedWeb / Dolma style):
+    across the whole corpus every repeated paragraph keeps exactly its
+    FIRST occurrence — the minimal ``(id, position)`` pair under the
+    deterministic total order — and all later copies are removed;
+    documents are then rebuilt from their surviving paragraphs in
+    original order.
+
+    This sits between document-level exact dedup (``exact_dedup``) and
+    line-level boilerplate removal
+    (``curation.strip_boilerplate_lines``): boilerplate removal drops
+    ALL copies of a hot line, paragraph dedup keeps one canonical copy
+    of every paragraph, so content embedded in partially-duplicated
+    pages survives exactly once.
+
+    Paragraphs shorter than ``min_paragraph_chars`` are exempt from the
+    dedup key and always kept (chance collisions on 'Thanks!', '***',
+    '' would mangle structure — the same exemption
+    ``strip_boilerplate_lines`` applies to short lines).  ``sep`` is a
+    regex for the split and a literal for the re-join; the default
+    blank-line separator contains no metacharacters so the two agree.
+
+    Output: ``(id_col, clean_text, n_kept, n_dropped)`` with every
+    input id present — a document whose every paragraph was dropped
+    survives with ``clean_text=''``.  NULL text is the empty document.
+
+    Scale: one paragraph-keyed aggregation (``min(struct(id, pos))`` is
+    partial-aggregatable, so Zipf-hot paragraphs combine map-side
+    before the shuffle) + one paragraph-keyed join of the exploded
+    table against the owner table (unhinted — AQE broadcasts iff the
+    distinct-paragraph side measures small, shuffle-joins otherwise) +
+    one id-keyed ordered reassembly.  No corpus-wide windows, nothing
+    driver-side.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "para"),
+    )
+    eligible = F.length("para") >= min_paragraph_chars
+    owners = (
+        paras.where(eligible)
+        .groupBy("para")
+        .agg(F.min(F.struct("id", "pos")).alias("owner"))
+    )
+    marked = paras.join(owners, "para", "left").withColumn(
+        "dropped",
+        F.coalesce(
+            eligible
+            & ~(
+                (F.col("owner.id") == F.col("id"))
+                & (F.col("owner.pos") == F.col("pos"))
+            ),
+            F.lit(False),
+        ),
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("dropped"), F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.when(~F.col("dropped"), 1)).alias("n_kept"),
+            F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

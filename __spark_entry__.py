@@ -5560,6 +5560,123 @@ FROM k GROUP BY file_id ORDER BY file_id
 """
 
 
+def _sql_md5_u32(salted_expr: str) -> str:
+    """DuckDB twin of ``sketches._md5_u32``: first 32 bits of md5 of an
+    already-salted string expression, as a BIGINT in [0, 2^32) — same
+    nibble-sum construction as ``_sql_md5_mod`` but over an arbitrary
+    expression (the sketches salt per hash row, so the salt is not a
+    constant prefix here)."""
+    return (
+        "list_sum([ ((strpos('0123456789abcdef',"
+        f" substring(md5({salted_expr}),"
+        " i, 1)) - 1)::BIGINT"
+        " << (4 * (8 - i)))"
+        " FOR i IN range(1, 9) ])::BIGINT"
+    )
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (sketches.cms_build/cms_estimate): token counts
+    summarized into a 4x64 counter grid (width deliberately small so
+    collisions are live at this vocabulary), then the 30 most frequent
+    tokens estimated back OUT of the sketch next to their true counts —
+    the one-sided (never-undercount) guarantee is visible per row."""
+    from memo_fraktur_ocr_code_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    sketch = cms_build(toks, "token", depth=4, width=64)
+    true = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    top = true.orderBy(F.desc("true_cnt"), "token").limit(30)
+    est = cms_estimate(
+        sketch, top.select("token"), "token", depth=4, width=64
+    )
+    return (
+        top.join(est, "token")
+        .select("token", "true_cnt", "cms_cnt")
+        .orderBy(F.desc("true_cnt"), "token")
+    )
+
+
+_SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL.format(col="lower(text)")}) AS token
+  FROM documents),
+ds AS (SELECT unnest(range(0, 4)) AS d),
+sk AS (
+  SELECT d, {_sql_md5_u32("'cms:' || d || ':' || token")} % 64 AS slot,
+         count(*)::BIGINT AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2),
+cnts AS (SELECT token, count(*)::BIGINT AS true_cnt FROM toks
+         GROUP BY token),
+top AS (SELECT * FROM cnts ORDER BY true_cnt DESC, token LIMIT 30),
+probe AS (
+  SELECT token, true_cnt, d,
+         {_sql_md5_u32("'cms:' || d || ':' || token")} % 64 AS slot
+  FROM top CROSS JOIN ds)
+SELECT token, true_cnt,
+       min(coalesce(cnt, 0))::BIGINT AS cms_cnt
+FROM probe LEFT JOIN sk USING (d, slot)
+GROUP BY token, true_cnt
+ORDER BY true_cnt DESC, token
+"""
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    """Bottom-k (KMV) distinct sketch (sketches.kmv_build/kmv_estimate):
+    per-lang distinct-document estimates from the 64 smallest document
+    hashes, next to the exact distinct count — every lang holds >= 64
+    documents at these SFs, so the estimation branch (not the exact
+    small-group branch) is the one under test."""
+    from memo_fraktur_ocr_code_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_build(docs, "doc_id", group_col="lang", k=64)
+    est = kmv_estimate(sk, k=64)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, est.grp == exact.lang)
+        .select(
+            "lang", "exact_distinct", "sketch_size", "kmv_distinct"
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_KMV_DISTINCT = f"""
+WITH hd AS (
+  SELECT DISTINCT lang,
+         {_sql_md5_u32("'kmv:' || doc_id")} AS h
+  FROM documents),
+r AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nd
+  FROM hd),
+sel AS (
+  SELECT lang,
+         count(*) FILTER (WHERE rn <= 64)::BIGINT AS sketch_size,
+         max(h) FILTER (WHERE rn = 64) AS h64,
+         max(nd) AS nd
+  FROM r GROUP BY lang),
+ex AS (SELECT lang, count(DISTINCT doc_id)::BIGINT AS exact_distinct
+       FROM documents GROUP BY lang)
+SELECT lang, exact_distinct, sketch_size,
+       CASE WHEN nd < 64 THEN nd::BIGINT
+            ELSE CAST(63 * 4294967296 // greatest(h64, 1) AS BIGINT)
+       END AS kmv_distinct
+FROM sel JOIN ex USING (lang)
+ORDER BY lang
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -5717,6 +5834,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "corpus_cube_report": _q_corpus_cube,
         "zorder_stats": _q_zorder_stats,
+        # r5 session 5: mergeable sketches (count-min, bottom-k KMV)
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 
@@ -5829,4 +5949,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": _SQL_DEDUP_PARAGRAPHS,
         "corpus_cube_report": _SQL_CORPUS_CUBE,
         "zorder_stats": _SQL_ZORDER_STATS,
+        "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
+        "kmv_distinct": _SQL_KMV_DISTINCT,
     }

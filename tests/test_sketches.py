@@ -1,0 +1,91 @@
+"""Unit tests for the mergeable sketches (operators/sketches.py):
+count-min one-sidedness and additivity, KMV partition-invariance and
+the exact small-group branch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from memo_fraktur_ocr_code_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    kmv_build,
+    kmv_estimate,
+)
+
+
+def _tokens(spark, rows):
+    return spark.createDataFrame([(t,) for t in rows], "token string")
+
+
+def test_cms_never_undercounts_even_under_collisions(spark):
+    rows = [f"tok{i}" for i in range(40) for _ in range(i % 5 + 1)]
+    df = _tokens(spark, rows)
+    true = {
+        r.token: r.cnt
+        for r in df.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    # width 4 guarantees heavy collisions over 40 distinct keys
+    sketch = cms_build(df, "token", depth=2, width=4)
+    est = cms_estimate(
+        sketch, df.select("token").distinct(), "token", depth=2, width=4
+    )
+    got = {r.token: r.cms_cnt for r in est.collect()}
+    assert set(got) == set(true)
+    assert all(got[t] >= true[t] for t in true)
+    assert any(got[t] > true[t] for t in true)  # collisions are live
+
+
+def test_cms_exact_when_wide_and_additive(spark):
+    df = _tokens(spark, ["a", "a", "b", "c", "c", "c"])
+    sketch = cms_build(df, "token", depth=4, width=4096)
+    est = cms_estimate(
+        sketch, df.select("token").distinct(), "token", depth=4, width=4096
+    )
+    got = {r.token: r.cms_cnt for r in est.collect()}
+    assert got == {"a": 2, "b": 1, "c": 3}
+    # additivity: sketch(x union y) == elementwise sum of the sketches —
+    # the property that makes per-shard sketches mergeable
+    x = _tokens(spark, ["a", "b"])
+    y = _tokens(spark, ["a", "c", "c"])
+    merged = (
+        cms_build(x, "token", 2, 8)
+        .unionByName(cms_build(y, "token", 2, 8))
+        .groupBy("d", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(x.unionByName(y), "token", 2, 8)
+    a = {(r.d, r.slot): r.cnt for r in merged.collect()}
+    b = {(r.d, r.slot): r.cnt for r in whole.collect()}
+    assert a == b
+
+
+def test_kmv_partition_invariant_and_exact_small_groups(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 3).cast("string").alias("grp_in"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+    )
+    one = {
+        r.grp: r.hs
+        for r in kmv_build(
+            df.repartition(1), "key", group_col="grp_in", k=32
+        ).collect()
+    }
+    many = {
+        r.grp: r.hs
+        for r in kmv_build(
+            df.repartition(7), "key", group_col="grp_in", k=32
+        ).collect()
+    }
+    assert one == many  # global bottom-k is partitioning-independent
+    assert all(len(hs) == 32 and hs == sorted(hs) for hs in one.values())
+
+    # small group (< k distinct): estimate IS the exact count
+    small = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(10)], "grp_in string, key string"
+    )
+    est = kmv_estimate(
+        kmv_build(small, "key", group_col="grp_in", k=32), k=32
+    ).collect()
+    assert len(est) == 1
+    assert est[0].sketch_size == 10 and est[0].kmv_distinct == 10

@@ -5677,6 +5677,41 @@ ORDER BY lang
 """
 
 
+def _q_window_rollup(spark, sf_dir):
+    """Batch event-time HOPPING window rollup
+    (timeseries.window_rollup): 1-hour windows sliding every 30
+    minutes over the events table — each event lands in exactly two
+    epoch-aligned buckets; per (window, event_type): event count +
+    distinct users.  The batch twin of the streaming watermarked
+    rollup, for backfilling historical partitions."""
+    from memo_fraktur_ocr_code_spark.operators.timeseries import (
+        window_rollup,
+    )
+
+    return window_rollup(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        size_s=3600,
+        slide_s=1800,
+        dims=("event_type",),
+    ).orderBy("win_start", "event_type")
+
+
+_SQL_WINDOW_ROLLUP = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type, user_id
+  FROM events WHERE ts IS NOT NULL),
+hopped AS (
+  SELECT ((t // 1800) - k) * 1800 AS win_start, event_type, user_id
+  FROM ev CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
+SELECT win_start, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM hopped GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -5837,6 +5872,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 5: mergeable sketches (count-min, bottom-k KMV)
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "kmv_distinct": _q_kmv_distinct,
+        # r5 session 5: batch event-time hopping-window rollup (the
+        # backfill twin of the streaming watermarked agg)
+        "window_rollup": _q_window_rollup,
     }
 
 
@@ -5951,4 +5989,5 @@ def oracle_sql() -> dict[str, str]:
         "zorder_stats": _SQL_ZORDER_STATS,
         "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
         "kmv_distinct": _SQL_KMV_DISTINCT,
+        "window_rollup": _SQL_WINDOW_ROLLUP,
     }

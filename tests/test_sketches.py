@@ -89,3 +89,36 @@ def test_kmv_partition_invariant_and_exact_small_groups(spark):
     ).collect()
     assert len(est) == 1
     assert est[0].sketch_size == 10 and est[0].kmv_distinct == 10
+
+
+def test_window_rollup_tumbling_and_hopping(spark):
+    from memo_fraktur_ocr_code_spark.operators.timeseries import (
+        window_rollup,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 1),
+        (2, "2024-01-01 00:50:00", "a", 2),
+        (3, "2024-01-01 01:10:00", "a", 1),
+        (4, None, "a", 9),  # NULL ts excluded, visibly
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tumbling = {
+        r.win_start: (r.n_events, r.n_users)
+        for r in window_rollup(df, size_s=3600).collect()
+    }
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    assert tumbling == {base: (2, 2), base + 3600: (1, 1)}
+    hopping = {
+        r.win_start: (r.n_events, r.n_users)
+        for r in window_rollup(df, size_s=3600, slide_s=1800).collect()
+    }
+    # every event lands in exactly two 1h/30min windows
+    assert hopping == {
+        base - 1800: (1, 1),     # covers 00:10 only
+        base: (2, 2),            # covers 00:10 + 00:50
+        base + 1800: (2, 2),     # covers 00:50 + 01:10
+        base + 3600: (1, 1),     # covers 01:10 only
+    }

@@ -5712,6 +5712,74 @@ ORDER BY win_start, event_type
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer-ppm PageRank (graph.pagerank, 5 iterations) over a
+    deterministic synthetic link graph: every document links to two
+    arithmetic neighbours mod N and every 10th also links to node 0
+    (the planted hub — its rank must dominate).  Damping 17/20 applied
+    multiply-then-DIV, ranks in ppm — bit-identical across engines and
+    summation orders, so the oracle can unroll the same five
+    iterations symbolically."""
+    from memo_fraktur_ocr_code_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ncnt = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(ncnt)  # 1-row side: broadcast by AQE
+    edges = (
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 5) % F.col("n")).alias("dst"),
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 0).select(
+                F.col("doc_id").alias("src"),
+                F.lit(0).cast("long").alias("dst"),
+            )
+        )
+    )
+    return pagerank(edges, iters=5).orderBy("node")
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled DuckDB twin of graph.pagerank over the synthetic doc
+    graph: one CTE pair (shares, ranks) per iteration, same integer
+    ppm arithmetic (// on non-negative operands == Spark DIV)."""
+    base = 1_000_000 - (17 * 1_000_000) // 20
+    sql = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn
+  UNION ALL
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1000000::BIGINT AS rank_ppm FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+s{i} AS (
+  SELECT e.dst, sum(r.rank_ppm // d.out_deg)::BIGINT AS in_ppm
+  FROM e JOIN deg d USING (src) JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         ({base} + (17 * coalesce(s.in_ppm, 0)) // 20)::BIGINT
+           AS rank_ppm
+  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node)"""
+    return sql + f"\nSELECT node, rank_ppm FROM r{iters} ORDER BY node"
+
+
+_SQL_PAGERANK = _pagerank_oracle_sql(5)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -5875,6 +5943,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 5: batch event-time hopping-window rollup (the
         # backfill twin of the streaming watermarked agg)
         "window_rollup": _q_window_rollup,
+        # r5 session 5: integer-ppm PageRank over the link-graph family
+        "pagerank": _q_pagerank,
     }
 
 
@@ -5990,4 +6060,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
         "kmv_distinct": _SQL_KMV_DISTINCT,
         "window_rollup": _SQL_WINDOW_ROLLUP,
+        "pagerank": _SQL_PAGERANK,
     }

@@ -122,3 +122,49 @@ def test_window_rollup_tumbling_and_hopping(spark):
         base + 1800: (2, 2),     # covers 00:50 + 01:10
         base + 3600: (1, 1),     # covers 01:10 only
     }
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_cycle_is_a_fixed_point(spark):
+    from memo_fraktur_ocr_code_spark.operators.graph import pagerank
+
+    # 2-cycle: each node hands its whole rank to the other, so
+    # 1_000_000 ppm is exactly stationary under 150000 + (17*x) DIV 20
+    got = {
+        r.node: r.rank_ppm
+        for r in pagerank(_edges(spark, [(1, 2), (2, 1)]), iters=7).collect()
+    }
+    assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_star_matches_hand_computation(spark):
+    from memo_fraktur_ocr_code_spark.operators.graph import pagerank
+
+    # A(1) -> B(2), A -> C(3); B and C are dangling
+    e = _edges(spark, [(1, 2), (1, 3)])
+    it1 = {r.node: r.rank_ppm for r in pagerank(e, iters=1).collect()}
+    assert it1 == {1: 150_000, 2: 575_000, 3: 575_000}
+    it2 = {r.node: r.rank_ppm for r in pagerank(e, iters=2).collect()}
+    # A's rank fell to 150000, so each child gets 75000 shares
+    assert it2 == {1: 150_000, 2: 213_750, 3: 213_750}
+
+
+def test_pagerank_partition_invariant_and_hub_dominates(spark):
+    from memo_fraktur_ocr_code_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+        (i, 7) for i in range(40) if i != 7
+    ]
+    one = {
+        r.node: r.rank_ppm
+        for r in pagerank(_edges(spark, pairs).repartition(1), iters=4).collect()
+    }
+    many = {
+        r.node: r.rank_ppm
+        for r in pagerank(_edges(spark, pairs).repartition(9), iters=4).collect()
+    }
+    assert one == many  # integer sums commute; floats would not
+    assert one[7] == max(one.values())  # the planted hub wins

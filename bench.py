@@ -108,6 +108,15 @@ HEADLINE = [
     "cluster_cap_sample",
     "temperature_mix",
     "temperature_sample",
+    # r5 session 5: paragraph dedup, grouping-set report, Z-order
+    # layout stats, mergeable sketches, windowed rollup, PageRank
+    "dedup_paragraphs",
+    "corpus_cube_report",
+    "zorder_stats",
+    "cms_heavy_hitters",
+    "kmv_distinct",
+    "window_rollup",
+    "pagerank",
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 from memo_fraktur_ocr_code_spark.functions.levtools import osa_distance
 from memo_fraktur_ocr_code_spark.functions.textspec import (
@@ -66,7 +67,14 @@ def _deletes(word: str, max_edit: int, out: set[str]) -> set[str]:
 class SymSpellIndex:
     """Immutable deletion-variant index over a ``token -> count`` lexicon."""
 
-    __slots__ = ("words", "index", "max_edit", "prefix_len", "top50_sum")
+    __slots__ = (
+        "words",
+        "index",
+        "max_edit",
+        "prefix_len",
+        "top50_sum",
+        "_cand_cache",
+    )
 
     def __init__(
         self,
@@ -79,6 +87,14 @@ class SymSpellIndex:
         self.words: dict[str, int] = dict(lexicon)
         self.max_edit = max_edit
         self.prefix_len = prefix_len
+        # Per-process memo for full candidate enumerations (k=None):
+        # bigram reranking keys its suggestion memo by (prev, word), so
+        # without this the PURE per-word candidate walk re-runs once per
+        # distinct context — the dominant kernel cost after r5's
+        # faithful transfer_casing.  Ships empty inside the broadcast;
+        # each worker fills its own copy.  Results are identical with or
+        # without the cache (lookup_candidates is pure in (index, word)).
+        self._cand_cache: dict[str, tuple] = {}
         # A10 calibration constant, computed once at index-build time (it
         # ships inside the broadcast) instead of re-sorting the whole
         # lexicon per conversation in the kernel (ADVICE r2).  The sum of
@@ -125,6 +141,7 @@ class SymSpellIndex:
         return best[2] if best else None
 
 
+@lru_cache(maxsize=1 << 16)
 def transfer_casing(original: str, suggestion: str) -> str:
     """Char-level casing transfer — the faithful semantics of
     symspellpy's ``transfer_casing_for_similar_text`` (helpers.py; the
@@ -274,8 +291,17 @@ def lookup_candidates(
     """Dictionary candidates within ``max_edit`` of the lowercased word,
     as (distance, -count, term) sorted ascending (so [0] is the
     TOP-verbosity winner) — the candidate set bigram reranking and
-    overlay lookup score.  ``k=None`` returns all."""
+    overlay lookup score.  ``k=None`` returns all.
+
+    Full enumerations (k=None) are memoized on the index (pure in
+    (index, word); the index is immutable after build), capped so a
+    pathological vocabulary cannot grow worker memory unboundedly."""
     w = word.lower()
+    cache = getattr(index, "_cand_cache", None)
+    if k is None and cache is not None:
+        hit = cache.get(w)
+        if hit is not None:
+            return list(hit)
     out: list[tuple[int, int, str]] = []
     if w in index.words:
         out.append((0, -index.words[w], w))
@@ -295,7 +321,11 @@ def lookup_candidates(
                 continue
             out.append((d, -index.words[cand], cand))
     out.sort()
-    return out if k is None else out[:k]
+    if k is None:
+        if cache is not None and len(cache) < (1 << 17):
+            cache[w] = tuple(out)
+        return out
+    return out[:k]
 
 
 # ---------------------------------------------------------------------------

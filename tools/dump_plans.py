@@ -196,6 +196,43 @@ def main():
         "reach the distinct + per-id rollup — per-corpus-row cost is "
         "~bands hash probes, not |bench| dot products.",
     )
+    add(
+        "Paragraph-level exact dedup (dedup_paragraphs)",
+        e.extra_queries()["dedup_paragraphs"](spark, sf),
+        "Three keyed exchanges, all necessary: the paragraph-owner "
+        "aggregation (min(struct) — partial-aggregatable, so Zipf-hot "
+        "paragraphs combine map-side), the UNHINTED owner join (AQE "
+        "broadcasts while the distinct-paragraph table is small, "
+        "shuffle-joins on the paragraph key at corpus scale), and the "
+        "id-keyed ordered reassembly.  No corpus-wide window.",
+    )
+    add(
+        "Count-min sketch build + estimate (cms_heavy_hitters)",
+        e.extra_queries()["cms_heavy_hitters"](spark, sf),
+        "The sketch build expands rows depth x map-side and partially "
+        "aggregates immediately — the exchange carries counter state "
+        "bounded by depth*width per task.  The estimate side joins a "
+        "FORCED-broadcast sketch, justified structurally: the sketch "
+        "can never exceed depth*width rows regardless of corpus size.",
+    )
+    add(
+        "Integer-ppm PageRank, 5 iterations (pagerank)",
+        e.extra_queries()["pagerank"](spark, sf),
+        "Each iteration is one src-keyed join (ranks x out-edges) + "
+        "one dst-keyed aggregation with map-side combine absorbing hub "
+        "skew; consecutive iterations rendezvous on the same hash "
+        "partitioning, and localCheckpoint cadence keeps the plan tree "
+        "from growing with the iteration count.",
+    )
+    add(
+        "Batch hopping-window rollup (window_rollup)",
+        e.extra_queries()["window_rollup"](spark, sf),
+        "Expand (size/slide replicas per row) happens map-side off the "
+        "scan; one hash aggregation on (window, event_type) with the "
+        "distinct-user expand — the exact batch twin of the streaming "
+        "watermarked rollup, epoch-aligned so backfill buckets match "
+        "the live edge byte-for-byte.",
+    )
 
     out = (
         "# Physical plan audits (`.explain('formatted')`, local[4],"

@@ -5780,6 +5780,79 @@ r{i} AS (
 _SQL_PAGERANK = _pagerank_oracle_sql(5)
 
 
+def _q_dq_fk_violations(spark, sf_dir):
+    """Referential-integrity audit (quality_checks.fk_violations):
+    lineitem rows that resolve no orders row.  The testdata is
+    referentially intact, so violations are PLANTED by dropping every
+    o_orderkey divisible by 97 from the parent — deterministic,
+    mirrored in the oracle — which makes the violation path (not the
+    trivially-empty result) the thing under test."""
+    from memo_fraktur_ocr_code_spark.operators.quality_checks import (
+        fk_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 != 0
+    )
+    return fk_violations(li, od, "l_orderkey", "o_orderkey").orderBy(
+        "l_orderkey"
+    )
+
+
+_SQL_DQ_FK_VIOLATIONS = """
+WITH par AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT l_orderkey, count(*)::BIGINT AS n_rows
+FROM lineitem l
+WHERE l.l_orderkey IS NULL
+   OR NOT EXISTS (SELECT 1 FROM par p WHERE p.o_orderkey = l.l_orderkey)
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def _q_dq_column_profile(spark, sf_dir):
+    """Single-pass per-column completeness/cardinality profile
+    (quality_checks.column_profile) over the documents table — one
+    aggregation computes every column's (nulls, distinct), one stack
+    unpivots; no per-column scans."""
+    from memo_fraktur_ocr_code_spark.operators.quality_checks import (
+        column_profile,
+    )
+
+    return column_profile(
+        _t(spark, sf_dir, "documents"),
+        ("doc_id", "text", "lang", "source", "n_chars"),
+    ).orderBy("column_name")
+
+
+_SQL_DQ_COLUMN_PROFILE = """
+WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
+SELECT u.column_name, n.n_rows, u.n_nulls, u.n_distinct
+FROM n, (
+  SELECT 'doc_id' AS column_name,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents
+  UNION ALL
+  SELECT 'text',
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT text)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'lang',
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT lang)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'source',
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT source)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'n_chars',
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT n_chars)::BIGINT FROM documents) u
+ORDER BY u.column_name
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -5945,6 +6018,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rollup": _q_window_rollup,
         # r5 session 5: integer-ppm PageRank over the link-graph family
         "pagerank": _q_pagerank,
+        # r5 session 5: data-quality audits (ingestion-gate checks)
+        "dq_fk_violations": _q_dq_fk_violations,
+        "dq_column_profile": _q_dq_column_profile,
     }
 
 
@@ -6061,4 +6137,6 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _SQL_KMV_DISTINCT,
         "window_rollup": _SQL_WINDOW_ROLLUP,
         "pagerank": _SQL_PAGERANK,
+        "dq_fk_violations": _SQL_DQ_FK_VIOLATIONS,
+        "dq_column_profile": _SQL_DQ_COLUMN_PROFILE,
     }

@@ -42,25 +42,69 @@ def _all_queries():
     return qs
 
 
+def _window_spec_bodies(s: str) -> list[str]:
+    """Balanced-paren bodies of every ``windowspecdefinition(...)`` in a
+    plan line (partition columns may themselves contain calls, so a
+    regex up to the first ')' would truncate)."""
+    out, i, key = [], 0, "windowspecdefinition("
+    while True:
+        j = s.find(key, i)
+        if j < 0:
+            return out
+        depth, k = 1, j + len(key)
+        start = k
+        while k < len(s) and depth:
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(s[start : k - 1])
+        i = k
+
+
+def _top_level_args(body: str) -> list[str]:
+    args, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
 def _unpartitioned_windows(plan: str) -> list[str]:
-    """Window plan lines with no partition spec (2 top-level bracket
-    groups instead of 3)."""
+    """Window plan lines whose spec has NO partition column.  A spec
+    prints as ``windowspecdefinition(part..., order..., frame)`` with
+    partition columns first (bare expressions), order expressions next
+    (carrying ``ASC``/``DESC``), and the frame last — so the window is
+    unpartitioned iff the FIRST top-level argument is already an order
+    expression or the frame.  (The old 3-bracket-group count
+    false-positived on legitimate partition-only windows, e.g.
+    ``count(*) OVER (PARTITION BY cluster_id)``, which print only two
+    groups just like the global windows this guard exists to catch.)"""
     bad = []
     for line in plan.splitlines():
         s = line.strip().lstrip("+-:* ")
         if not s.startswith("Window "):
             continue
-        groups = 0
-        depth = 0
-        for ch in s:
-            if ch == "[":
-                if depth == 0:
-                    groups += 1
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-        if groups < 3:
-            bad.append(s[:160])
+        for body in _window_spec_bodies(s):
+            args = _top_level_args(body)
+            if not args:
+                continue
+            first = args[0]
+            if first.startswith("specifiedwindowframe") or (
+                " ASC" in first or " DESC" in first
+            ):
+                bad.append(s[:160])
+                break
     return bad
 
 
@@ -97,8 +141,16 @@ def test_detector_catches_a_global_window(spark):
     p = df.withColumn(
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     )
+    # partition-only window (no order): bounded per group — must PASS
+    po = df.withColumn("n", F.count("*").over(Window.partitionBy("g")))
+    # global frame-only window: whole input through one task — must FLAG
+    go = df.withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
     assert _unpartitioned_windows(_plan(g))
     assert not _unpartitioned_windows(_plan(p))
+    assert not _unpartitioned_windows(_plan(po))
+    assert _unpartitioned_windows(_plan(go))
 
 
 def test_a10_top_k_stays_distributed(spark):

@@ -5853,6 +5853,77 @@ ORDER BY u.column_name
 """
 
 
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter membership pre-screen
+    (sketches.bloom_build/bloom_might_contain): a 2^16-bit, 4-hash
+    filter over the bench set's normalized-text keys (docs with
+    doc_id % 7 == 0), probed by the whole corpus.  Output carries BOTH
+    the bloom verdict and the exact membership, so the one-sided
+    contract (bloom_hit >= exact_hit rowwise) and any false positives
+    are visible; the planted duplicate documents make some non-bench
+    rows exact hits — the case the pre-screen exists to catch."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        normalize_text_col,
+    )
+    from memo_fraktur_ocr_code_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text_col("text").alias("key")
+    )
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    bloom = bloom_build(bench, "key", m_bits=1 << 16, k=4)
+    hits = bloom_might_contain(
+        bloom, docs.select("key").distinct(), "key", m_bits=1 << 16, k=4
+    )
+    bkeys = (
+        bench.select("key").distinct().withColumn("_b", F.lit(1))
+    )
+    return (
+        docs.join(hits, "key")
+        .join(bkeys, "key", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_b"), F.lit(0)).alias("exact_hit"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BLOOM_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS key
+  FROM documents),
+b AS (SELECT DISTINCT key FROM d WHERE doc_id % 7 = 0),
+js AS (SELECT unnest(range(0, 4)) AS j),
+setpos AS (
+  SELECT {_sql_md5_u32("'bf:' || j || ':' || key")} % 65536 AS pos
+  FROM b CROSS JOIN js),
+words AS (
+  SELECT pos // 32 AS widx, bit_or(1 << (pos % 32)) AS bits
+  FROM setpos GROUP BY 1),
+pk AS (SELECT DISTINCT key FROM d),
+probe AS (
+  SELECT key, pos // 32 AS widx, 1 << (pos % 32) AS mask
+  FROM (SELECT key,
+               {_sql_md5_u32("'bf:' || j || ':' || key")} % 65536 AS pos
+        FROM pk CROSS JOIN js)),
+ph AS (
+  SELECT key,
+         min(CASE WHEN coalesce(bits, 0) & mask <> 0 THEN 1 ELSE 0 END)
+           AS bloom_hit
+  FROM probe LEFT JOIN words USING (widx) GROUP BY key)
+SELECT d.doc_id, ph.bloom_hit,
+       CASE WHEN b2.key IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+FROM d JOIN ph USING (key) LEFT JOIN b b2 USING (key)
+ORDER BY d.doc_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -6021,6 +6092,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 5: data-quality audits (ingestion-gate checks)
         "dq_fk_violations": _q_dq_fk_violations,
         "dq_column_profile": _q_dq_column_profile,
+        # r5 session 5: bit-packed Bloom membership pre-screen
+        "bloom_decontaminate": _q_bloom_decontaminate,
     }
 
 
@@ -6139,4 +6212,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _SQL_PAGERANK,
         "dq_fk_violations": _SQL_DQ_FK_VIOLATIONS,
         "dq_column_profile": _SQL_DQ_COLUMN_PROFILE,
+        "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
     }

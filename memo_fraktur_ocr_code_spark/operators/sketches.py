@@ -155,3 +155,88 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
         n.cast("bigint").alias("sketch_size"),
         est.alias("kmv_distinct"),
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom filter over the distinct keys, bit-packed into 32-bit
+    words: ``(widx, bits)`` with at most ``m_bits/32`` rows — the
+    membership sketch that pre-filters a huge probe stream before an
+    exact check (the decontamination / incremental-dedup fast path:
+    definite-miss rows skip the expensive join entirely; only
+    might-contain rows go on).
+
+    Each key sets ``k`` md5-derived positions; positions pack via
+    ``bit_or(1 << (pos % 32))`` grouped by ``pos DIV 32`` — one
+    map-side-combinable aggregation whose output is bounded by the
+    filter geometry, never the corpus.  32-bit words keep every shift
+    inside non-negative BIGINT range on both engines.  One-sided like
+    the count-min sketch: false positives possible, false negatives
+    impossible.
+    """
+    keyed = df.select(F.col(key_col).cast("string").alias("key")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    pos = (
+        _md5_u32(F.concat_ws(":", F.lit("bf"), F.col("j"), F.col("key")))
+        % m_bits
+    )
+    return (
+        keyed.select(pos.alias("pos"))
+        .select(
+            F.expr("pos DIV 32").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a bit-packed Bloom filter: ``(key_col, bloom_hit)`` with
+    ``bloom_hit = 1`` iff ALL ``k`` of the key's bit positions are set.
+
+    The filter side is broadcast EXPLICITLY and justifiably — its row
+    count is bounded by ``m_bits/32`` at build time (structural, like
+    the count-min sketch's depth*width bound).  A missing word row
+    means those 32 bits are all zero.
+    """
+    keyed = probes.select(
+        F.col(key_col).cast("string").alias("key")
+    ).withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    pos = (
+        _md5_u32(F.concat_ws(":", F.lit("bf"), F.col("j"), F.col("key")))
+        % m_bits
+    )
+    probed = keyed.select(
+        "key",
+        pos.alias("pos"),
+    ).select(
+        "key",
+        F.expr("pos DIV 32").alias("widx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+        ).alias("mask"),
+    )
+    joined = probed.join(F.broadcast(bloom), "widx", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+    ).cast("int")
+    return (
+        joined.select("key", hit.alias("h"))
+        .groupBy("key")
+        .agg(F.min("h").alias("bloom_hit"))
+        .withColumnRenamed("key", key_col)
+    )

@@ -168,3 +168,47 @@ def test_pagerank_partition_invariant_and_hub_dominates(spark):
     }
     assert one == many  # integer sums commute; floats would not
     assert one[7] == max(one.values())  # the planted hub wins
+
+
+def test_bloom_no_false_negatives_and_packing(spark):
+    from memo_fraktur_ocr_code_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], "k string"
+    )
+    bloom = bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    rows = bloom.collect()
+    assert all(0 <= r.widx < (1 << 12) // 32 for r in rows)
+    assert all(0 < r.bits < (1 << 32) for r in rows)  # 32-bit words
+    hits = {
+        r.k: r.bloom_hit
+        for r in bloom_might_contain(
+            bloom, keys, "k", m_bits=1 << 12, k=4
+        ).collect()
+    }
+    assert all(hits[f"key{i}"] == 1 for i in range(200))  # never misses
+
+
+def test_bloom_false_positives_are_one_sided_only(spark):
+    from memo_fraktur_ocr_code_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame(
+        [(f"in{i}",) for i in range(300)], "k string"
+    )
+    outsiders = spark.createDataFrame(
+        [(f"out{i}",) for i in range(300)], "k string"
+    )
+    # tiny filter (256 bits, 300 keys * 4 hashes): heavily saturated,
+    # so some outsiders MUST collide — and every member still hits
+    bloom = bloom_build(members, "k", m_bits=256, k=4)
+    mh = bloom_might_contain(bloom, members, "k", m_bits=256, k=4)
+    oh = bloom_might_contain(bloom, outsiders, "k", m_bits=256, k=4)
+    assert all(r.bloom_hit == 1 for r in mh.collect())
+    fp = sum(r.bloom_hit for r in oh.collect())
+    assert fp > 0  # saturation makes false positives live

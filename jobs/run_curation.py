@@ -13,7 +13,10 @@ per-stage funnel summary:
 4. **dedup** — exact content dedup, then near-dup clustering
    (char-12-gram Jaccard with the hot-shingle df cap →
    large-star/small-star connected components), keeping each
-   cluster's smallest doc_id.
+   cluster's smallest doc_id; then paragraph-level exact dedup
+   (RefinedWeb's passage pass — residual cross-document repeated
+   paragraphs keep their first occurrence only, documents emptied by
+   the pass are dropped and counted).
 5. **decontamination** (optional ``--bench``) — 13-gram overlap drop
    against a benchmark set.
 6. **split + pack** — growth-stable train/val/test assignment and
@@ -244,6 +247,41 @@ def curate(
     survivors = _stage("near", _build_near)
     funnel["after_near_dedup"] = survivors.count()
 
+    # 4c. paragraph-level exact dedup (RefinedWeb's passage pass, AFTER
+    # document-level dedup so it only removes residual cross-document
+    # repeated paragraphs, not whole-document duplicates).  Text
+    # changes here, so n_tokens is recounted — the budgeting and the
+    # written column must describe the text that ships.  Documents
+    # whose every paragraph was a duplicate come back empty and are
+    # dropped explicitly (counted, not silently vanished).
+    def _build_paragraphs(prev=survivors):
+        from memo_fraktur_ocr_code_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+
+        deduped = paragraph_dedup(
+            prev.select("doc_id", "text")
+        ).select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "n_dropped",
+        )
+        keep_cols = [
+            c for c in prev.columns
+            if c not in ("doc_id", "text", "n_tokens")
+        ]
+        out = deduped.join(prev.select("doc_id", *keep_cols), "doc_id")
+        return out.withColumn("n_tokens", F.size(ts._ws_tokens("text")))
+
+    survivors = _stage("paragraphs", _build_paragraphs)
+    funnel["duplicate_paragraphs_dropped"] = int(
+        survivors.agg(F.sum("n_dropped")).collect()[0][0] or 0
+    )
+    emptied = survivors.where(F.length("text") == 0).count()
+    funnel["emptied_by_paragraph_dedup"] = emptied
+    survivors = survivors.where(F.length("text") > 0).drop("n_dropped")
+    funnel["after_paragraph_dedup"] = funnel["after_near_dedup"] - emptied
+
     # 5. benchmark decontamination (optional)
     if bench is not None:
 
@@ -322,11 +360,30 @@ def _demo(work_dir: str) -> dict:
         " from the bridge and the old keeper writes every name into the"
         " heavy book of records"
     )
+    # two documents distinct enough to survive near-dup (unique bodies)
+    # but sharing ONE verbatim paragraph — the case only the paragraph
+    # pass catches: the shared paragraph must ship exactly once
+    shared_para = (
+        "this exact closing paragraph about the harbor rules appears"
+        " verbatim at the end of two otherwise different reports"
+    )
+    body_a = (
+        "the first report describes the northern pier and the tall"
+        " cranes that load the grain ships every evening after the"
+        " tide turns and the gulls settle on the warm stones"
+    )
+    body_b = (
+        "the second report covers the southern docks where the"
+        " fishing boats tie up at dawn and the merchants argue about"
+        " the price of rope and tar and salted fish"
+    )
     planted = spark.createDataFrame(
         [
             (900001, f"{header}\n{good_dup}"),   # dedup pair, kept (min id)
             (900002, f"{header}\n{good_dup}"),   # dedup pair, dropped
             (900003, f"{header}\n{good_leak}"),  # decontaminated away
+            (900004, f"{header}\n{body_a}\n\n{shared_para}"),
+            (900005, f"{header}\n{body_b}\n\n{shared_para}"),
         ],
         "doc_id bigint, text string",
     )
@@ -345,18 +402,28 @@ def _demo(work_dir: str) -> dict:
         >= f["after_quality_gate"]
         > f["after_exact_dedup"]
         >= f["after_near_dedup"]
+        >= f["after_paragraph_dedup"]
         > f["after_decontamination"]
         == f["final"]
     ), f
-    final_ids = {
-        r.doc_id
-        for r in spark.read.parquet(f"{work_dir}/curated")
-        .select("doc_id")
-        .collect()
-    }
+    # the planted shared paragraph fired the passage pass
+    assert f["duplicate_paragraphs_dropped"] >= 1, f
+    curated = spark.read.parquet(f"{work_dir}/curated")
+    final_ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 900001 in final_ids      # gate-passing, dedup winner, clean
     assert 900002 not in final_ids  # exact duplicate removed
     assert 900003 not in final_ids  # benchmark leak removed
+    # both shared-paragraph reports survive (distinct bodies), but the
+    # shared closing paragraph ships exactly once, on the smaller id
+    assert {900004, 900005} <= final_ids
+    texts = {
+        r.doc_id: r.text
+        for r in curated.where(
+            F.col("doc_id").isin(900004, 900005)
+        ).collect()
+    }
+    assert shared_para in texts[900004]
+    assert shared_para not in texts[900005]
     assert set(summary["splits"]) <= {"train", "val", "test"}, summary
     return summary
 

@@ -5529,14 +5529,22 @@ def _q_zorder_stats(spark, sf_dir):
     keyed by the bit-interleave of (user_id, event_id) mapped into a
     12-bit domain, then per-'file' (equal-width key range) min/max
     stats of BOTH dimensions — the statistics an Iceberg/Delta scan
-    planner prunes data files with after a sort-strategy rewrite."""
+    planner prunes data files with after a sort-strategy rewrite.
+
+    The dims are spread across the FULL 12-bit domain via the shared
+    md5 bucketing (not a raw modulo): at gate SFs the raw ids only
+    cover the low bits, which left most of the interleave — and 62 of
+    the 64 file ranges — unexercised by the oracle (code-review r5
+    s5); md5 spreading makes every interleave bit and every file range
+    live at every SF."""
+    from memo_fraktur_ocr_code_spark.operators.curation import _md5_mod
     from memo_fraktur_ocr_code_spark.operators.layout import (
         zorder_scan_stats,
     )
 
     ev = _t(spark, sf_dir, "events").select(
-        F.pmod(F.col("user_id"), F.lit(4096)).alias("u"),
-        F.pmod(F.col("event_id"), F.lit(4096)).alias("e"),
+        _md5_mod("user_id", "zu", 4096).alias("u"),
+        _md5_mod("event_id", "ze", 4096).alias("e"),
     )
     return zorder_scan_stats(ev, "u", "e", bits=12, files=64).orderBy(
         "file_id"
@@ -5550,7 +5558,9 @@ _Z_INTERLEAVE_SQL = " | ".join(
 
 _SQL_ZORDER_STATS = f"""
 WITH ev AS (
-  SELECT user_id % 4096 AS u, event_id % 4096 AS e FROM events),
+  SELECT {_sql_md5_mod('zu', 4096, 'user_id::VARCHAR')} AS u,
+         {_sql_md5_mod('ze', 4096, 'event_id::VARCHAR')} AS e
+  FROM events),
 k AS (SELECT u, e, ({_Z_INTERLEAVE_SQL}) AS zkey FROM ev)
 SELECT CAST((zkey * 64) // {1 << 24} AS BIGINT) AS file_id,
        count(*)::BIGINT AS n_rows,

@@ -274,13 +274,30 @@ def curate(
         return out.withColumn("n_tokens", F.size(ts._ws_tokens("text")))
 
     survivors = _stage("paragraphs", _build_paragraphs)
-    funnel["duplicate_paragraphs_dropped"] = int(
-        survivors.agg(F.sum("n_dropped")).collect()[0][0] or 0
-    )
-    emptied = survivors.where(F.length("text") == 0).count()
-    funnel["emptied_by_paragraph_dedup"] = emptied
+    # one pass for all three funnel numbers; empty outputs are
+    # attributed to the dedup only when the dedup actually dropped
+    # something (n_dropped > 0) — a doc that ENTERED empty is its own
+    # funnel class, not a dedup casualty (code-review r5 s5)
+    stats = survivors.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(
+            ((F.length("text") == 0) & (F.col("n_dropped") > 0)).cast(
+                "long"
+            )
+        ).alias("emptied"),
+        F.sum(
+            ((F.length("text") == 0) & (F.col("n_dropped") == 0)).cast(
+                "long"
+            )
+        ).alias("already_empty"),
+    ).collect()[0]
+    funnel["duplicate_paragraphs_dropped"] = int(stats["dropped"] or 0)
+    funnel["emptied_by_paragraph_dedup"] = int(stats["emptied"] or 0)
+    funnel["entered_paragraphs_empty"] = int(stats["already_empty"] or 0)
     survivors = survivors.where(F.length("text") > 0).drop("n_dropped")
-    funnel["after_paragraph_dedup"] = funnel["after_near_dedup"] - emptied
+    funnel["after_paragraph_dedup"] = funnel["after_near_dedup"] - int(
+        (stats["emptied"] or 0) + (stats["already_empty"] or 0)
+    )
 
     # 5. benchmark decontamination (optional)
     if bench is not None:

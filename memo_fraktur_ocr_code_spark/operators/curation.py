@@ -120,10 +120,13 @@ def _md5_mod(id_col, salt: str, mod: int) -> F.Column:
     mod ``mod``.  md5 (not xxhash64) so the DuckDB oracle can recompute
     the identical value from the same hex digits; the string cast makes
     it id-type-agnostic (string conv_ids hash the same way bigint
-    doc_ids do)."""
+    doc_ids do).  Built on the ONE shared first-32-bits-of-md5 core
+    (sketches._md5_u32) — the recipe is engine-portability-critical and
+    must not fork (code-review r5 s5)."""
+    from memo_fraktur_ocr_code_spark.operators.sketches import _md5_u32
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    hx = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
-    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % mod
+    return _md5_u32(F.concat(F.lit(f"{salt}:"), c.cast("string"))) % mod
 
 
 def sample_bucket(id_col, salt: str = "strat") -> F.Column:

@@ -1339,27 +1339,32 @@ def paragraph_dedup(
     input id present — a document whose every paragraph was dropped
     survives with ``clean_text=''``.  NULL text is the empty document.
 
-    Scale: one paragraph-keyed aggregation (``min(struct(id, pos))`` is
+    Scale: the dedup key is ``xxhash64(para)`` — 8 bytes through the
+    shuffle instead of multi-KB paragraph text (the same
+    hash-is-identity premise ``exact_dedup`` rests on module-wide; the
+    DuckDB oracle groups by the paragraph string, identical absent a
+    64-bit collision; code-review r5 s5).  One sig-keyed aggregation of
+    (sig, id, pos) rows (``min(struct(id, pos))`` is
     partial-aggregatable, so Zipf-hot paragraphs combine map-side
-    before the shuffle) + one paragraph-keyed join of the exploded
-    table against the owner table (unhinted — AQE broadcasts iff the
-    distinct-paragraph side measures small, shuffle-joins otherwise) +
-    one id-keyed ordered reassembly.  No corpus-wide windows, nothing
-    driver-side.
+    before the shuffle) + one sig-keyed join of the exploded table
+    against the owner table (unhinted — AQE broadcasts iff the owner
+    table measures small, shuffle-joins otherwise) + one id-keyed
+    ordered reassembly.  No corpus-wide windows, nothing driver-side.
     """
     paras = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("pos", "para"),
-    )
+    ).withColumn("sig", F.xxhash64("para"))
     eligible = F.length("para") >= min_paragraph_chars
     owners = (
         paras.where(eligible)
-        .groupBy("para")
+        .select("sig", "id", "pos")
+        .groupBy("sig")
         .agg(F.min(F.struct("id", "pos")).alias("owner"))
     )
-    marked = paras.join(owners, "para", "left").withColumn(
+    marked = paras.join(owners, "sig", "left").withColumn(
         "dropped",
         F.coalesce(
             eligible

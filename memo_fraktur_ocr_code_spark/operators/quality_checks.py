@@ -63,15 +63,20 @@ def column_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     unpivots the single result row — no per-column scans, no driver
     loop over columns.
     """
+    # internal aliases are index-based and source columns resolved via
+    # df[...] (literal lookup), so column names containing spaces,
+    # dots, or SQL keywords cannot break the expr (code-review r5 s5);
+    # quotes in names are escaped for the stack string literal
     aggs = [F.count("*").alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}")
+            F.sum(df[c].isNull().cast("long")).alias(f"_nulls_{i}")
         )
-        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"_dist_{i}"))
     row = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', _nulls_{c}, _dist_{c}" for c in cols
+        "'{}', _nulls_{}, _dist_{}".format(c.replace("'", "''"), i, i)
+        for i, c in enumerate(cols)
     )
     return row.select(
         F.expr(

@@ -17,7 +17,14 @@ DuckDB oracle can recompute them bit-for-bit:
   k smallest.
 
 Hashes are md5-derived (not xxhash64) for the same reason as
-``curation._md5_mod``: the oracle engine must be able to recompute them.
+``curation._md5_mod`` (which is built on this module's ``_md5_u32``):
+the oracle engine must be able to recompute them.
+
+NULL keys carry no membership and no counts: every sketch filters them
+out explicitly.  (Spark's ``concat_ws`` silently drops NULL arguments
+while the oracle's ``||`` nulls the whole expression — without the
+filter a NULL key would set real bits in the Spark filter and none in
+the oracle's, a latent cross-engine divergence; code-review r5 s5.)
 """
 
 from __future__ import annotations
@@ -49,8 +56,10 @@ def cms_build(
     state bounded by ``depth*width`` per map task, never data.  Hot keys
     are absorbed by the map-side combine (they hit the same counters).
     """
-    keyed = df.select(F.col(key_col).cast("string").alias("k")).withColumn(
-        "d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    keyed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("k"))
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
     )
     slot = (
         _md5_u32(F.concat_ws(":", F.lit("cms"), F.col("d"), F.col("k")))
@@ -79,9 +88,11 @@ def cms_estimate(
     not a data-dependent guess (contrast decontaminate_bench, whose
     bench-gram side is unbounded and therefore left to AQE).
     """
-    probes = keys.select(
-        F.col(key_col).cast("string").alias("k")
-    ).withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+    probes = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("k"))
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+    )
     slot = (
         _md5_u32(F.concat_ws(":", F.lit("cms"), F.col("d"), F.col("k")))
         % width
@@ -119,12 +130,16 @@ def kmv_build(
         if group_col
         else F.lit("(all)")
     ).alias("grp")
-    hashed = df.select(
-        g,
-        _md5_u32(
-            F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
-        ).alias("h"),
-    ).distinct()
+    hashed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            g,
+            _md5_u32(
+                F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
     partials = (
         hashed.groupBy(F.spark_partition_id().alias("pid"), "grp")
         .agg(
@@ -178,8 +193,10 @@ def bloom_build(
     the count-min sketch: false positives possible, false negatives
     impossible.
     """
-    keyed = df.select(F.col(key_col).cast("string").alias("key")).withColumn(
-        "j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    keyed = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
     )
     pos = (
         _md5_u32(F.concat_ws(":", F.lit("bf"), F.col("j"), F.col("key")))
@@ -213,9 +230,11 @@ def bloom_might_contain(
     the count-min sketch's depth*width bound).  A missing word row
     means those 32 bits are all zero.
     """
-    keyed = probes.select(
-        F.col(key_col).cast("string").alias("key")
-    ).withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    keyed = (
+        probes.where(F.col(key_col).isNotNull())
+        .select(F.col(key_col).cast("string").alias("key"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    )
     pos = (
         _md5_u32(F.concat_ws(":", F.lit("bf"), F.col("j"), F.col("key")))
         % m_bits

@@ -5934,6 +5934,49 @@ ORDER BY d.doc_id
 """
 
 
+def _q_expand_epochs(spark, sf_dir):
+    """Epoch-level repetition (curation.expand_epochs): the up-sampling
+    half of temperature mixing — every document gets
+    ``temp_ppm*1e4 DIV share_ppm`` basis points of epochs (full copies
+    + a deterministic md5-bucketed fractional copy), materializing the
+    mix by replication, the standard LLM recipe for rare domains."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        expand_epochs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        expand_epochs(docs)
+        .select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            "n_copies",
+            "epoch",
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+# identical weight-derivation prefix as the temperature-sample oracle
+# (split at its capped `w AS` CTE), then the UNCAPPED epochs_bp and the
+# per-copy expansion — one definition of the float-portable weight math
+_SQL_EXPAND_EPOCHS = _SQL_TEMPERATURE_SAMPLE.split("w AS")[0] + f"""w AS (
+  SELECT domain,
+         round(1000000.0 * palpha / tot_alpha)::BIGINT * 10000
+           // greatest(n_tokens * 1000000 // tot_tokens, 1) AS epochs_bp
+  FROM sc CROSS JOIN nrm),
+e AS (
+  SELECT d.doc_id, d.source AS domain,
+         w.epochs_bp // 10000
+           + CASE WHEN {_sql_md5_mod('epoch', 10000)} < w.epochs_bp % 10000
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN w ON w.domain = d.source)
+SELECT doc_id, domain, n_copies,
+       unnest(range(1, n_copies + 1)) AS epoch
+FROM e ORDER BY doc_id, epoch
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -6104,6 +6147,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_column_profile": _q_dq_column_profile,
         # r5 session 5: bit-packed Bloom membership pre-screen
         "bloom_decontaminate": _q_bloom_decontaminate,
+        # r5 session 5: epoch-level repetition (temperature up-sampling)
+        "expand_epochs": _q_expand_epochs,
     }
 
 
@@ -6223,4 +6268,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_fk_violations": _SQL_DQ_FK_VIOLATIONS,
         "dq_column_profile": _SQL_DQ_COLUMN_PROFILE,
         "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
+        "expand_epochs": _SQL_EXPAND_EPOCHS,
     }

@@ -1021,3 +1021,69 @@ def sample_to_temperature(
             ),
         )
     )
+
+
+def expand_epochs(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha_quarters: int = 2,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Epoch-level repetition — the UP-sampling half
+    :func:`sample_to_temperature` deliberately does not do (its
+    docstring: "epoch-level up-sampling is a repetition decision, not a
+    filter").  Materializes the temperature mix by replication: every
+    document gets ``epochs_bp = temp_ppm * 1e4 DIV share_ppm`` basis
+    points of epochs — ``epochs_bp DIV 1e4`` full copies plus one extra
+    copy iff its md5 bucket falls under the fractional part.  A domain
+    at 2.5 epochs ships 2 copies of every doc and a third copy of a
+    deterministic half of them; an over-represented domain
+    (epochs_bp < 1e4) degenerates to the sampling filter.  This is the
+    standard LLM mixing recipe (rare domains repeated across epochs,
+    e.g. Llama's Wikipedia/Books passes).
+
+    Output: one row per (document, epoch) with ``n_copies`` and
+    ``epoch`` (1-based) attached — downstream shuffling/packing treats
+    each copy as a document.
+
+    Scale: the weights table is |domains| rows, broadcast by
+    construction; per-doc work is one md5 + one compare; the replication
+    itself is a map-side explode (rows out = tokens budgeted, which is
+    the POINT — the expansion is the product, not overhead).
+    """
+    if weights is None:
+        weights = temperature_mix_weights(
+            df,
+            domain_col=domain_col,
+            text_col=text_col,
+            alpha_quarters=alpha_quarters,
+        )
+    w = weights.select(
+        "domain",
+        F.expr("temp_ppm * 10000 DIV greatest(share_ppm, 1)").alias(
+            "epochs_bp"
+        ),
+    )
+    j = df.join(
+        F.broadcast(w), df[domain_col] == w["domain"]
+    ).drop("domain")
+    bucket = _md5_mod(id_col, salt, 10000)
+    out = j.withColumn(
+        "n_copies",
+        F.expr("epochs_bp DIV 10000")
+        + (bucket < F.expr("epochs_bp % 10000")).cast("long"),
+    )
+    # sequence(1, 0) would COUNT DOWN ([1, 0]) — guard the n_copies=0
+    # case with an explicit empty array so those docs drop cleanly
+    return out.withColumn(
+        "epoch",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies")),
+            ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        ),
+    )

@@ -117,6 +117,11 @@ HEADLINE = [
     "kmv_distinct",
     "window_rollup",
     "pagerank",
+    # r5 session 5 (cont.): DQ audits, Bloom pre-screen, epoch mixing
+    "dq_fk_violations",
+    "dq_column_profile",
+    "bloom_decontaminate",
+    "expand_epochs",
 ]
 
 

@@ -225,6 +225,23 @@ def main():
         "from growing with the iteration count.",
     )
     add(
+        "Bloom membership pre-screen (bloom_decontaminate)",
+        e.extra_queries()["bloom_decontaminate"](spark, sf),
+        "The filter side is a FORCED broadcast with a structural bound "
+        "(at most m_bits/32 rows regardless of corpus size); the probe "
+        "stream expands k positions map-side off the scan and reduces "
+        "with one key aggregation — definite-miss rows never reach the "
+        "exact-membership join.",
+    )
+    add(
+        "Epoch-level repetition (expand_epochs)",
+        e.extra_queries()["expand_epochs"](spark, sf),
+        "The weights table is |domains| rows broadcast by construction; "
+        "the replication itself is a map-side explode off the scan — "
+        "rows out IS the product (the temperature mix materialized), "
+        "not shuffle overhead.",
+    )
+    add(
         "Batch hopping-window rollup (window_rollup)",
         e.extra_queries()["window_rollup"](spark, sf),
         "Expand (size/slide replicas per row) happens map-side off the "

@@ -5338,8 +5338,12 @@ def _q_temperature_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-_SQL_TEMPERATURE_SAMPLE = f"""
-WITH per AS (
+# ONE definition of the float-portable temperature weight derivation,
+# shared by the sampling and epoch-repetition oracles (a substring
+# split of the sampling SQL was fragile — any future CTE or alias
+# matching 'w AS' earlier in the text would truncate the derived
+# oracle mid-statement; code-review r5 s5)
+_SQL_TEMP_WEIGHT_CTES = f"""per AS (
   SELECT source AS domain, count(*) AS n_docs,
          sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
   FROM documents GROUP BY source),
@@ -5353,7 +5357,10 @@ nrm AS (SELECT list_reduce(
                                               palpha := palpha))),
                    s -> s.palpha),
                  (x, y) -> x + y) AS tot_alpha
-        FROM sc),
+        FROM sc)"""
+
+_SQL_TEMPERATURE_SAMPLE = f"""
+WITH {_SQL_TEMP_WEIGHT_CTES},
 w AS (SELECT domain,
              least(round(1000000.0 * palpha / tot_alpha)::BIGINT
                      * 10000
@@ -5957,13 +5964,16 @@ def _q_expand_epochs(spark, sf_dir):
     )
 
 
-# identical weight-derivation prefix as the temperature-sample oracle
-# (split at its capped `w AS` CTE), then the UNCAPPED epochs_bp and the
-# per-copy expansion — one definition of the float-portable weight math
-_SQL_EXPAND_EPOCHS = _SQL_TEMPERATURE_SAMPLE.split("w AS")[0] + f"""w AS (
+# same weight-derivation CTEs as the temperature-sample oracle (named
+# shared fragment, not string surgery), then the epochs_bp — uncapped
+# below one epoch, capped at max_epochs=100 like the operator
+_SQL_EXPAND_EPOCHS = f"""
+WITH {_SQL_TEMP_WEIGHT_CTES},
+w AS (
   SELECT domain,
-         round(1000000.0 * palpha / tot_alpha)::BIGINT * 10000
-           // greatest(n_tokens * 1000000 // tot_tokens, 1) AS epochs_bp
+         least(round(1000000.0 * palpha / tot_alpha)::BIGINT * 10000
+                 // greatest(n_tokens * 1000000 // tot_tokens, 1),
+               1000000) AS epochs_bp
   FROM sc CROSS JOIN nrm),
 e AS (
   SELECT d.doc_id, d.source AS domain,

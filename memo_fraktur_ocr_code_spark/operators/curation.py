@@ -1031,6 +1031,7 @@ def expand_epochs(
     text_col: str = "text",
     alpha_quarters: int = 2,
     salt: str = "epoch",
+    max_epochs: int = 100,
 ) -> DataFrame:
     """Epoch-level repetition — the UP-sampling half
     :func:`sample_to_temperature` deliberately does not do (its
@@ -1053,6 +1054,12 @@ def expand_epochs(
     construction; per-doc work is one md5 + one compare; the replication
     itself is a map-side explode (rows out = tokens budgeted, which is
     the POINT — the expansion is the product, not overhead).
+    ``max_epochs`` (default 100) bounds the blow-up: a near-zero-share
+    domain has ``share_ppm`` floored to 1, which would otherwise grant
+    up to ``temp_ppm`` copies per document — and each row's epoch
+    sequence materializes as ONE in-memory array before the explode,
+    so an unbounded factor is an executor-OOM vector, not just output
+    volume (code-review r5 s5; real mixing recipes stay under ~10).
     """
     if weights is None:
         weights = temperature_mix_weights(
@@ -1063,13 +1070,17 @@ def expand_epochs(
         )
     w = weights.select(
         "domain",
-        F.expr("temp_ppm * 10000 DIV greatest(share_ppm, 1)").alias(
-            "epochs_bp"
-        ),
+        F.expr(
+            f"least(temp_ppm * 10000 DIV greatest(share_ppm, 1),"
+            f" {int(max_epochs) * 10000})"
+        ).alias("epochs_bp"),
     )
+    # drop w's join column BY REFERENCE: .drop("domain") would drop
+    # every column of that name, stripping the caller's own domain
+    # column when domain_col == "domain" (code-review r5 s5)
     j = df.join(
         F.broadcast(w), df[domain_col] == w["domain"]
-    ).drop("domain")
+    ).drop(w["domain"])
     bucket = _md5_mod(id_col, salt, 10000)
     out = j.withColumn(
         "n_copies",

@@ -50,40 +50,3 @@ def test_accepted_values_flags_outsiders_and_null(spark):
         for r in accepted_values_check(df, "st", ("F", "O", "P")).collect()
     }
     assert got == {"X": 2, None: 1}
-
-
-def test_expand_epochs_replicates_by_weight(spark):
-    from pyspark.sql import functions as F
-
-    from memo_fraktur_ocr_code_spark.operators.curation import (
-        expand_epochs,
-    )
-
-    docs = spark.createDataFrame(
-        [(i, "rare" if i < 10 else "big",
-          "w" + " w" * (3 if i < 10 else 400))
-         for i in range(110)],
-        "doc_id bigint, source string, text string",
-    )
-    weights = spark.createDataFrame(
-        # rare at 2.5 epochs, big capped to sampling at 0.6 epochs
-        [("rare", 100, 25_000), ("big", 100, 6_000)],
-        "domain string, share_ppm bigint, temp_ppm bigint",
-    ).withColumn("share_ppm", F.lit(10_000))
-    out = expand_epochs(docs, weights=weights).collect()
-    by_doc = {}
-    for r in out:
-        by_doc.setdefault(r.doc_id, []).append(r.epoch)
-    rare_copies = [len(by_doc.get(i, [])) for i in range(10)]
-    big_copies = [len(by_doc.get(i, [])) for i in range(10, 110)]
-    # 25000 bp = 2 full copies + fractional half; every rare doc has 2
-    # or 3 copies with contiguous 1-based epoch numbering
-    assert all(c in (2, 3) for c in rare_copies), rare_copies
-    assert any(c == 3 for c in rare_copies)
-    for i in range(10):
-        assert sorted(by_doc[i]) == list(range(1, len(by_doc[i]) + 1))
-    # 6000 bp < 1 epoch degenerates to the sampling filter: 0/1 copies,
-    # and roughly 60% kept (deterministic md5 buckets)
-    assert all(c in (0, 1) for c in big_copies)
-    kept = sum(big_copies)
-    assert 40 <= kept <= 80, kept

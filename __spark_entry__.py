@@ -5987,6 +5987,54 @@ FROM e ORDER BY doc_id, epoch
 """
 
 
+def _q_dup_rate_by_domain(spark, sf_dir):
+    """Per-domain duplication-rate report: docs, distinct normalized
+    contents, and dup rate in basis points — the first number a
+    curation run reads before choosing dedup aggressiveness.  One
+    lang-keyed aggregation with an expand-distinct over the content
+    signature (xxhash64 of the dedup family's normalized text — 8-byte
+    shuffle rows; the oracle counts distinct normalized STRINGS,
+    identical absent a 64-bit collision, the module-wide premise)."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        normalize_text_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", F.xxhash64(normalize_text_col("text")).alias("sig")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("sig").alias("n_unique"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_unique",
+            F.expr(
+                "(n_docs - n_unique) * 10000 DIV n_docs"
+            ).alias("dup_rate_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_DUP_RATE_BY_DOMAIN = """
+WITH d AS (
+  SELECT lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT norm)::BIGINT AS n_unique,
+       (count(*) - count(DISTINCT norm)) * 10000 // count(*)
+         AS dup_rate_bp
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Redundant-coverage variants kept OUT of the driver's 50-entry
     window but under the identical oracle contract — verified by
@@ -6159,6 +6207,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         # r5 session 5: epoch-level repetition (temperature up-sampling)
         "expand_epochs": _q_expand_epochs,
+        # r5 session 5: per-domain duplication-rate profile
+        "dup_rate_by_domain": _q_dup_rate_by_domain,
     }
 
 
@@ -6279,4 +6329,5 @@ def oracle_sql() -> dict[str, str]:
         "dq_column_profile": _SQL_DQ_COLUMN_PROFILE,
         "bloom_decontaminate": _SQL_BLOOM_DECONTAMINATE,
         "expand_epochs": _SQL_EXPAND_EPOCHS,
+        "dup_rate_by_domain": _SQL_DUP_RATE_BY_DOMAIN,
     }

@@ -1397,9 +1397,13 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
         embedding_cosine_dups,
     )
 
-    return embedding_cosine_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
-    ).select("id_a", "id_b", "cosine")
+    return (
+        embedding_cosine_dups(
+            _t(spark, sf_dir, "embeddings"), threshold=0.35
+        )
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
 
 
 _SQL_DEDUP_EMB = """
@@ -1435,13 +1439,17 @@ def _q_dedup_embedding_srp(spark, sf_dir):
         embedding_cosine_dups,
     )
 
-    return embedding_cosine_dups(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.35,
-        dim=64,
-        bits=12,
-        bands=2,
-    ).select("id_a", "id_b", "cosine")
+    return (
+        embedding_cosine_dups(
+            _t(spark, sf_dir, "embeddings"),
+            threshold=0.35,
+            dim=64,
+            bits=12,
+            bands=2,
+        )
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _sql_vec_dot(a: str, b: str, dim: int = 64) -> str:
@@ -2494,7 +2502,7 @@ def _q_minhash_lsh(spark, sf_dir):
         bands=16,
         verify="exact",
         prefilter_margin=0.3,  # opt-in pre-prune (VERDICT r2 item 6)
-    )
+    ).orderBy("id_a", "id_b")
 
 
 _SQL_MINHASH = """
@@ -3145,7 +3153,9 @@ def _q_simhash(spark, sf_dir):
     hash lets DuckDB recompute the signatures bit for bit."""
     from memo_fraktur_ocr_code_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("id_a", "id_b")
 
 
 # Full independent recompute of the 60-bit simhash in DuckDB: md5 hex →
@@ -3591,6 +3601,89 @@ SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
              THEN (10000 * COALESCE(cov.dup_tokens, 0)) // t.n_tokens
              ELSE 0 END)::BIGINT AS dup_bp
 FROM t LEFT JOIN cov USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+def _q_remove_dup_spans(spark, sf_dir):
+    """The APPLY step of exact-substring dedup
+    (dedup.remove_duplicate_spans): same planted corpus and window spec
+    as `dedup_substring`, but the output is the REWRITTEN text — every
+    non-canonical duplicated span excised, canonical occurrence kept,
+    casing preserved, n_removed_tokens audited.  The oracle rebuilds
+    the trimmed text by an independent algorithm (token-level coverage
+    via a range join + ordered string_agg, vs Spark's merged-interval
+    fold), so the comparison checks the excision semantics, not the
+    implementation."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" " + _SPAN_PARA)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return remove_duplicate_spans(planted, span_len=8).orderBy("doc_id")
+
+
+_SQL_REMOVE_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(
+           CASE WHEN doc_id % 7 = 0
+                THEN coalesce(text, '') || ' {_SPAN_PARA}'
+                ELSE text END, ''), '\\s+', ' ', 'g')) AS raw
+  FROM documents
+),
+t AS (
+  SELECT doc_id, string_split(raw, ' ') AS toks,
+         CASE WHEN raw = '' THEN 0
+              ELSE len(string_split(raw, ' ')) END AS n_tokens
+  FROM d
+),
+sp AS (
+  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+         lower(array_to_string(toks[u.pos:u.pos + 7], ' ')) AS span
+  FROM t, UNNEST(range(1, n_tokens - 6)) AS u(pos)
+  WHERE n_tokens >= 8
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM sp
+),
+rep AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+tok AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS idx,
+         toks[CAST(u.i AS INTEGER)] AS tok
+  FROM t, UNNEST(range(1, n_tokens + 1)) AS u(i)
+  WHERE n_tokens >= 1
+),
+cov AS (
+  SELECT tok.doc_id, tok.idx, tok.tok, count(rep.pos) > 0 AS covered
+  FROM tok LEFT JOIN rep
+    ON rep.doc_id = tok.doc_id
+   AND tok.idx >= rep.pos AND tok.idx <= rep.pos + 7
+  GROUP BY tok.doc_id, tok.idx, tok.tok
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT covered THEN tok END,
+                             ' ' ORDER BY idx), '') AS clean_text,
+         sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
+       COALESCE(agg.clean_text, '') AS clean_text,
+       COALESCE(agg.n_removed_tokens, 0)::BIGINT AS n_removed_tokens
+FROM t LEFT JOIN agg USING (doc_id)
 ORDER BY t.doc_id
 """
 
@@ -5371,7 +5464,7 @@ SELECT d.doc_id, d.source AS domain,
        {_sql_md5_mod('temp', 10000)} AS bucket, w.rate_bp,
        CASE WHEN {_sql_md5_mod('temp', 10000)} < w.rate_bp
             THEN 1 ELSE 0 END AS keep
-FROM documents d JOIN w ON w.domain = d.source
+FROM documents d JOIN w ON w.domain IS NOT DISTINCT FROM d.source
 ORDER BY d.doc_id
 """
 
@@ -5781,16 +5874,24 @@ nodes AS (SELECT DISTINCT node FROM
 deg AS (SELECT src, count(*)::BIGINT AS out_deg FROM e GROUP BY src),
 r0 AS (SELECT node, 1000000::BIGINT AS rank_ppm FROM nodes)"""
     for i in range(1, iters + 1):
+        # dangling-mass fold-back mirrors graph.pagerank: the summed
+        # rank of out-degree-0 nodes is redistributed uniformly
+        # (DIV n) each iteration; zero on this synthetic graph (every
+        # doc has out-edges) but kept in the oracle for semantic parity
         sql += f""",
+dg{i} AS (
+  SELECT coalesce(sum(rank_ppm), 0)::BIGINT
+           // (SELECT count(*) FROM nodes) AS redist
+  FROM r{i - 1} WHERE node NOT IN (SELECT src FROM deg)),
 s{i} AS (
   SELECT e.dst, sum(r.rank_ppm // d.out_deg)::BIGINT AS in_ppm
   FROM e JOIN deg d USING (src) JOIN r{i - 1} r ON r.node = e.src
   GROUP BY e.dst),
 r{i} AS (
   SELECT n.node,
-         ({base} + (17 * coalesce(s.in_ppm, 0)) // 20)::BIGINT
-           AS rank_ppm
-  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node)"""
+         ({base} + (17 * (coalesce(s.in_ppm, 0) + dg.redist))
+            // 20)::BIGINT AS rank_ppm
+  FROM nodes n LEFT JOIN s{i} s ON s.dst = n.node CROSS JOIN dg{i} dg)"""
     return sql + f"\nSELECT node, rank_ppm FROM r{iters} ORDER BY node"
 
 
@@ -5980,7 +6081,7 @@ e AS (
          w.epochs_bp // 10000
            + CASE WHEN {_sql_md5_mod('epoch', 10000)} < w.epochs_bp % 10000
                   THEN 1 ELSE 0 END AS n_copies
-  FROM documents d JOIN w ON w.domain = d.source)
+  FROM documents d JOIN w ON w.domain IS NOT DISTINCT FROM d.source)
 SELECT doc_id, domain, n_copies,
        unnest(range(1, n_copies + 1)) AS epoch
 FROM e ORDER BY doc_id, epoch
@@ -6121,6 +6222,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: exact-substring span dedup (Lee et al. 2022) —
         # window-hash sketch with planted overlapping-window paragraph
         "dedup_substring": _q_dedup_substring,
+        # r6: the excision APPLY step of exact-substring dedup —
+        # rewritten text with non-canonical spans removed (VERDICT r5
+        # next-round #2); oracle rebuilds via an independent range-join
+        # coverage algorithm
+        "remove_dup_spans": _q_remove_dup_spans,
         # r5 session 2: product quantization end-to-end (train 4
         # subspace codebooks, encode, ADC top-k in integer micro-units)
         "pq_adc_topk": _q_pq_adc_topk,
@@ -6286,6 +6392,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_dedup": _SQL_INCREMENTAL_MINHASH,
         "cluster_assign": _sql_cluster_assign(),
         "dedup_substring": _SQL_SUBSTRING_SPANS,
+        "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "html_main_content": _SQL_HTML_MAIN_CONTENT,
         "layout_reading_order": _SQL_LAYOUT_READING_ORDER,

@@ -38,7 +38,8 @@ full-corpus copies in executor storage, no crash story).
 
 Usage:
   python jobs/run_curation.py <docs_parquet> <out_dir>
-      [--bench <bench_parquet>] [--budget N] [--shards N] [--resume]
+      [--bench <bench_parquet>] [--budget N] [--shards N]
+      [--span-len N] [--resume]
   python jobs/run_curation.py --demo <work_dir>
 """
 
@@ -65,6 +66,7 @@ def curate(
     n_shards: int = 64,
     max_line_df: int = 3,
     jaccard_threshold: float = 0.7,
+    span_dedup_len: int | None = None,
     resume: bool = False,
     n_ckpt_buckets: int = 16,
 ) -> dict:
@@ -136,6 +138,7 @@ def curate(
     fp = (
         f"docs:{fpr['n']}:{fpr['chars'] or 0}:{fpr['xh'] or 0}"
         f":ldf={max_line_df}:j={jaccard_threshold}"
+        f":span={span_dedup_len}"
     )
     if bench is not None:
         bfp = bench.agg(
@@ -246,6 +249,15 @@ def curate(
 
     survivors = _stage("near", _build_near)
     funnel["after_near_dedup"] = survivors.count()
+    # the near-dup stage has now materialized (checkpoint or count) —
+    # release the shingle caches ngram_jaccard_pairs enrolled, or a
+    # multi-stage run carries them in executor storage to the end
+    # (VERDICT r5 cache-hygiene item)
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        release_operator_caches,
+    )
+
+    release_operator_caches()
 
     # 4c. paragraph-level exact dedup (RefinedWeb's passage pass, AFTER
     # document-level dedup so it only removes residual cross-document
@@ -298,6 +310,58 @@ def curate(
     funnel["after_paragraph_dedup"] = funnel["after_near_dedup"] - int(
         (stats["emptied"] or 0) + (stats["already_empty"] or 0)
     )
+
+    # 4d. exact-substring span excision (optional — the Lee et al. 2022
+    # apply step, VERDICT r5 next-round #2): repeated ≥span_dedup_len
+    # token windows keep their corpus-wide canonical occurrence only;
+    # every later copy is cut OUT of the text rather than dropping the
+    # whole document.  Runs AFTER paragraph dedup so it only excises
+    # residual sub-paragraph repeats.  n_tokens is recounted on the
+    # trimmed text (the shipped-text invariant all prior stages keep);
+    # docs emptied by the excision are dropped and counted.
+    if span_dedup_len is not None:
+
+        def _build_spans(prev=survivors):
+            from memo_fraktur_ocr_code_spark.operators.dedup import (
+                remove_duplicate_spans,
+            )
+
+            trimmed = remove_duplicate_spans(
+                prev.select("doc_id", "text"), span_len=span_dedup_len
+            ).select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "n_removed_tokens",
+            )
+            keep_cols = [
+                c for c in prev.columns
+                if c not in ("doc_id", "text", "n_tokens")
+            ]
+            out = trimmed.join(
+                prev.select("doc_id", *keep_cols), "doc_id"
+            )
+            return out.withColumn(
+                "n_tokens", F.size(ts._ws_tokens("text"))
+            )
+
+        survivors = _stage("spans", _build_spans)
+        span_stats = survivors.agg(
+            F.sum("n_removed_tokens").alias("removed"),
+            F.sum(
+                (
+                    (F.length("text") == 0)
+                    & (F.col("n_removed_tokens") > 0)
+                ).cast("long")
+            ).alias("emptied"),
+        ).collect()[0]
+        funnel["span_tokens_removed"] = int(span_stats["removed"] or 0)
+        funnel["emptied_by_span_dedup"] = int(span_stats["emptied"] or 0)
+        survivors = survivors.where(F.length("text") > 0).drop(
+            "n_removed_tokens"
+        )
+        funnel["after_span_dedup"] = funnel[
+            "after_paragraph_dedup"
+        ] - int(span_stats["emptied"] or 0)
 
     # 5. benchmark decontamination (optional)
     if bench is not None:
@@ -456,6 +520,7 @@ def main(argv: list[str]) -> None:
     src, out_dir = argv[:2]
     bench_path = None
     budget, n_shards = 2048, 64
+    span_len = None
     resume = False
     it = iter(argv[2:])
 
@@ -472,6 +537,8 @@ def main(argv: list[str]) -> None:
             budget = int(_val(a))
         elif a == "--shards":
             n_shards = int(_val(a))
+        elif a == "--span-len":
+            span_len = int(_val(a))
         elif a == "--resume":
             resume = True
         else:
@@ -485,7 +552,8 @@ def main(argv: list[str]) -> None:
         json.dumps(
             curate(
                 spark, docs, out_dir, bench=bench, budget=budget,
-                n_shards=n_shards, resume=resume,
+                n_shards=n_shards, span_dedup_len=span_len,
+                resume=resume,
             )
         )
     )

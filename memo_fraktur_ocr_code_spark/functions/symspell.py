@@ -109,6 +109,23 @@ class SymSpellIndex:
         # Deterministic candidate ordering regardless of dict-build order.
         self.index = {k: tuple(sorted(v)) for k, v in index.items()}
 
+    def __getstate__(self):
+        # The memo must NOT travel with the pickle: a driver-side warm-up
+        # (overlay building, tests) would otherwise serialize the full
+        # candidate cache into every executor's broadcast copy, inflating
+        # broadcast size for entries the workers rebuild anyway
+        # (ADVICE r5).  Workers always start from an empty memo.
+        # __slots__ class: state is a plain dict keyed by slot name.
+        return {
+            s: ({} if s == "_cand_cache" else getattr(self, s))
+            for s in self.__slots__
+        }
+
+    def __setstate__(self, state):
+        for s, v in state.items():
+            setattr(self, s, v)
+        self._cand_cache = {}
+
     @classmethod
     def from_pairs(cls, pairs, **kw) -> "SymSpellIndex":
         return cls({t: int(c) for t, c in pairs}, **kw)

@@ -1004,13 +1004,21 @@ def sample_to_temperature(
             F.lit(10000).cast("bigint"),
         ).alias("rate_bp"),
     )
+    # NULL-safe join: NULL domains form a weight group of their own in
+    # temperature_mix_weights (groupBy keeps the NULL group), so the
+    # keep-everything contract must carry them through here too — a
+    # plain equi-join would silently drop every NULL-domain row
+    # (ADVICE r5).  eqNullSafe keeps the broadcast hash join shape.
+    left = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        _md5_mod(id_col, salt, 10000).alias("bucket"),
+    )
+    wj = w.withColumnRenamed("domain", "_w_domain")
     return (
-        df.select(
-            F.col(id_col),
-            F.col(domain_col).alias("domain"),
-            _md5_mod(id_col, salt, 10000).alias("bucket"),
+        left.join(
+            F.broadcast(wj), left["domain"].eqNullSafe(wj["_w_domain"])
         )
-        .join(F.broadcast(w), "domain")
         .select(
             id_col,
             "domain",
@@ -1077,9 +1085,12 @@ def expand_epochs(
     )
     # drop w's join column BY REFERENCE: .drop("domain") would drop
     # every column of that name, stripping the caller's own domain
-    # column when domain_col == "domain" (code-review r5 s5)
+    # column when domain_col == "domain" (code-review r5 s5).
+    # eqNullSafe, not ==: NULL domains carry a weight group of their
+    # own out of temperature_mix_weights and must keep their epoch
+    # budget rather than silently vanish at the join (ADVICE r5).
     j = df.join(
-        F.broadcast(w), df[domain_col] == w["domain"]
+        F.broadcast(w), df[domain_col].eqNullSafe(w["domain"])
     ).drop(w["domain"])
     bucket = _md5_mod(id_col, salt, 10000)
     out = j.withColumn(

@@ -151,11 +151,16 @@ def ngram_jaccard_pairs(
     then |A∩B| aggregation and |A|,|B| lookup — never a cross join.
     ``max_df`` caps shingle document frequency before the self-join (see
     ``cap_shingle_df``); sizes are computed on the *capped* table so the
-    Jaccard stays a true Jaccard of the surviving shingle sets."""
+    Jaccard stays a true Jaccard of the surviving shingle sets.
+
+    Output is UNSORTED — at corpus scale the pairs table can be
+    large, and a global sort is a real job that belongs to the consumer
+    (the registered queries add the deterministic orderBy the oracle
+    comparison wants; VERDICT r5)."""
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
-    sh = sh.cache()
+    sh = _register_cache(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -183,7 +188,6 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
     return out
 
@@ -344,9 +348,9 @@ def incremental_minhash_dedup(
     set per round.
     """
     assert num_hashes % bands == 0
-    sh_b = shingle_table(batch, id_col, text_col, n).cache()
+    sh_b = _register_cache(shingle_table(batch, id_col, text_col, n))
     sigs_b = _signatures_from_shingles(sh_b, num_hashes)
-    bands_b = _band_rows(sigs_b, num_hashes, bands).cache()
+    bands_b = _register_cache(_band_rows(sigs_b, num_hashes, bands))
 
     # --- candidates vs the established corpus: index join, no recompute
     cand_exist = band_index_candidates(existing_bands, bands_b)
@@ -355,7 +359,7 @@ def incremental_minhash_dedup(
         F.col("exist_id").alias(id_col)
     ).distinct()
     ex_docs = existing.join(cand_ids, id_col, "left_semi")
-    sh_e = shingle_table(ex_docs, id_col, text_col, n).cache()
+    sh_e = _register_cache(shingle_table(ex_docs, id_col, text_col, n))
     sz_b = sh_b.groupBy("id").agg(F.count("*").alias("sz"))
     sz_e = sh_e.groupBy("id").agg(F.count("*").alias("sz"))
     inter_e = (
@@ -518,8 +522,8 @@ def minhash_lsh_pairs(
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
-    sh = sh.cache()  # one shingle explode feeds signatures AND verify
-    sigs = _signatures_from_shingles(sh, num_hashes).cache()
+    sh = _register_cache(sh)  # one explode feeds signatures AND verify
+    sigs = _register_cache(_signatures_from_shingles(sh, num_hashes))
     banded = _band_rows(sigs, num_hashes, bands)
     cand = (
         banded.alias("l")
@@ -598,7 +602,6 @@ def minhash_lsh_pairs(
                 >= threshold
             )
             .select("id_a", "id_b", "inter", "size_a", "size_b")
-            .orderBy("id_a", "id_b")
         )
     est = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
@@ -619,9 +622,41 @@ def minhash_lsh_pairs(
             ).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
     )
     return est
+
+
+#: Every cache() a dedup-family operator takes is enrolled here so a
+#: long-lived driver (jobs, bench loops, test sessions) can release
+#: operator-scoped storage deterministically instead of waiting for LRU
+#: eviction — the uniform version of the per-operator "caching note"
+#: contract (VERDICT r5 cache-hygiene item).
+_OPERATOR_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    """``cache()`` + enroll in the module-level registry (see
+    :func:`release_operator_caches`)."""
+    out = df.cache()
+    _OPERATOR_CACHES.append(out)
+    return out
+
+
+def release_operator_caches() -> None:
+    """Unpersist every intermediate a dedup-family operator cached.
+
+    Call after the operator's OUTPUT has been materialized (collected /
+    written): the caches only exist to stop multi-consumer plans from
+    recomputing the shingle/signature tables during that one
+    materialization.  Releasing earlier is safe for correctness (Spark
+    recomputes on a cache miss) but forfeits the sharing.  Idempotent;
+    unpersist failures (e.g. a stopped session) are swallowed."""
+    while _OPERATOR_CACHES:
+        df = _OPERATOR_CACHES.pop()
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -876,7 +911,7 @@ def simhash_near_pairs(
     4×15-bit block buckets (pigeonhole: ≤3 differing bits ⇒ at least one
     of 4 blocks identical, so recall is EXACT for max_hamming ≤ 3) —
     candidates via bucket equi-join only."""
-    sigs = simhash_signatures(df, id_col, text_col).cache()
+    sigs = _register_cache(simhash_signatures(df, id_col, text_col))
     blocks = sigs.select(
         "id",
         "simhash",
@@ -912,7 +947,6 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -998,9 +1032,7 @@ def embedding_cosine_dups(
     )
     if bits > 0 and bands > 1:
         scored = scored.distinct()
-    return scored.where(F.col("cosine") >= threshold).orderBy(
-        "id_a", "id_b"
-    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def semantic_dedup(
@@ -1261,6 +1293,137 @@ def substring_span_stats(
                 "(10000 * coalesce(dup_tokens, 0)) div n_tokens"
             )).otherwise(F.lit(0)).cast("long").alias("dup_bp"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 8,
+    stride: int = 1,
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022 — the
+    excision RefinedWeb/SlimPajama actually perform): rewrite each
+    document's text with every NON-CANONICAL duplicated span removed,
+    where spans are exactly the windows :func:`substring_span_stats`
+    counts (same window hash, same ``min(id, pos)`` canonical election,
+    so across the whole corpus each distinct repeated window survives
+    exactly once — at its canonical occurrence).
+
+    Detection is case/whitespace-normalized (identical to the stats
+    pass); excision operates on the case-PRESERVED token sequence —
+    ``lower()`` never changes whitespace-token boundaries, so index i
+    in the normalized token array is index i in the raw collapsed
+    array.  The rebuilt text therefore keeps original casing; interior
+    whitespace is collapsed to single spaces (the token-rebuild cost,
+    stated contract).
+
+    Returns one row per input document (keep-everything — untouched
+    docs return their collapsed text verbatim with zero removals):
+
+    ``(doc_id, n_tokens, clean_text, n_removed_tokens)``
+
+    ``n_removed_tokens`` equals the stats pass's ``dup_tokens`` for the
+    same parameters (the audited invariant; tests pin it).
+
+    Scale design: shares the stats shape — only ``(span_key, id, pos)``
+    triples shuffle, the occ>1 reduction is one map-side-combined
+    aggregation, and the excision itself is per-document array work.
+    Covered positions fold into MERGED intervals first (bounded by
+    repeats-per-doc), so the per-token coverage test is
+    O(tokens × merged-intervals), never O(tokens × windows) on
+    boilerplate-heavy docs.
+    """
+    k = int(span_len)
+    assert k >= 2 and stride >= 1
+    raw = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "
+            )
+        ),
+        " ",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.concat_ws(" ", raw) == "", F.lit(0))
+        .otherwise(F.size(raw))
+        .alias("n_tokens"),
+        raw.alias("_rawtoks"),
+    )
+    sp = (
+        base.where(F.col("n_tokens") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.expr(f"sequence(1, n_tokens - {k} + 1, {stride})")
+            ).alias("pos"),
+            "_rawtoks",
+        )
+        .select(
+            "id",
+            "pos",
+            # lower() AFTER the slice-join == slicing the normalized
+            # token array: identical span keys to substring_span_stats
+            F.xxhash64(
+                F.lower(
+                    F.concat_ws(" ", F.expr(f"slice(_rawtoks, pos, {k})"))
+                )
+            ).alias("span_key"),
+        )
+    )
+    dup_keys = (
+        sp.groupBy("span_key")
+        .agg(
+            F.count("*").alias("occ"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .where(F.col("occ") > 1)
+        .select("span_key", "canon")
+    )
+    repeats = sp.join(dup_keys, "span_key").where(
+        ~(
+            (F.col("id") == F.col("canon.id"))
+            & (F.col("pos") == F.col("canon.pos"))
+        )
+    )
+    pd = repeats.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_p")
+    )
+    # merged coverage intervals [s, e] (1-based, inclusive) from the
+    # sorted window starts — adjacent/overlapping windows coalesce, so
+    # the per-token exists() below scans few intervals, not all windows
+    iv = F.expr(
+        f"""aggregate(
+              coalesce(_p, CAST(array() AS array<int>)),
+              CAST(array() AS array<struct<s:int,e:int>>),
+              (acc, p) -> IF(
+                size(acc) > 0 AND p <= element_at(acc, -1).e + 1,
+                concat(
+                  slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    's', element_at(acc, -1).s,
+                    'e', greatest(element_at(acc, -1).e, p + {k - 1})))),
+                concat(acc, array(named_struct('s', p, 'e', p + {k - 1})))))"""
+    )
+    joined = base.join(pd, "id", "left").withColumn("_iv", iv)
+    kept = F.expr(
+        """filter(
+             transform(_rawtoks,
+               (t, i) -> IF(exists(_iv,
+                              v -> i + 1 >= v.s AND i + 1 <= v.e),
+                            NULL, t)),
+             x -> x IS NOT NULL)"""
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.expr(
+            "aggregate(_iv, CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v.e - v.s + 1)"
+        ).alias("n_removed_tokens"),
     )
 
 

@@ -103,8 +103,27 @@ def zorder_scan_stats(
     )
     span = 1 << (2 * bits)
     # integer DIV, not float division: exact at any key width and it
-    # matches the DuckDB oracle's // on non-negative operands
-    file_id = F.expr(f"(zkey * {files}) DIV {span}").alias("file_id")
+    # matches the DuckDB oracle's // on non-negative operands.
+    # Overflow guard (ADVICE r5): zkey reaches span-1 ≈ 2^(2*bits), so
+    # the multiply-first form needs 2*bits + ceil(log2(files)) bits —
+    # near the 63-bit cap (bits ≤ 31) `zkey * files` wraps signed
+    # 64-bit BEFORE the division.  When files divides the key span
+    # (the overwhelmingly common power-of-two case) divide FIRST:
+    # floor(zkey*files/span) == floor(zkey/(span/files)) exactly.
+    # Otherwise keep the exact multiply form but refuse widths where
+    # it would overflow.
+    if span % files == 0:
+        file_id = F.expr(f"zkey DIV {span // files}").alias("file_id")
+    else:
+        if 2 * bits + (files - 1).bit_length() > 62:
+            raise ValueError(
+                "zorder_scan_stats: zkey * files would overflow"
+                f" int64 (bits={bits}, files={files}); use a files"
+                " count dividing 2^(2*bits) or fewer bits"
+            )
+        file_id = F.expr(f"(zkey * {files}) DIV {span}").alias(
+            "file_id"
+        )
     return (
         keyed.select(file_id, "a", "b")
         .groupBy("file_id")

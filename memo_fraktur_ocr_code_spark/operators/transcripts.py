@@ -215,14 +215,29 @@ def flag_boilerplate_turns(
         normalize_text_col,
     )
 
+    # Output columns must not silently shadow caller data (ADVICE r5):
+    # a pre-existing turn_conv_df/is_boilerplate would be clobbered by
+    # the select below — refuse loudly instead.
+    for reserved in ("turn_conv_df", "is_boilerplate"):
+        if reserved in df.columns:
+            raise ValueError(
+                "flag_boilerplate_turns: input already has a"
+                f" '{reserved}' column; rename it before flagging"
+            )
+    # Internal key column: pick a name the input provably lacks rather
+    # than clobbering a caller's '_bk' (ADVICE r5).  Deterministic —
+    # suffix until free, no randomness.
+    bk = "_bk"
+    while bk in df.columns:
+        bk += "_"
     key = normalize_text_col(F.coalesce(F.col("text"), F.lit("")))
-    keyed = df.withColumn("_bk", key)
+    keyed = df.withColumn(bk, key)
     freq = (
-        keyed.where(F.length("_bk") >= min_chars)
-        .groupBy("_bk")
+        keyed.where(F.length(bk) >= min_chars)
+        .groupBy(bk)
         .agg(F.countDistinct("conv_id").alias("turn_conv_df"))
     )
-    out = keyed.join(freq, "_bk", "left").select(
+    out = keyed.join(freq, bk, "left").select(
         *[F.col(c) for c in df.columns],
         F.col("turn_conv_df").cast("long").alias("turn_conv_df"),
         F.when(

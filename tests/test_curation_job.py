@@ -114,3 +114,59 @@ def test_curation_kill_and_resume_skips_finished_stages(
         r.stage for r in m.select("stage").distinct().collect()
     }
     assert {"cleaned", "gated", "exact", "near"} <= stages_in_manifest
+
+
+def test_curation_span_dedup_stage_excises_planted_repeat_once(
+    spark, tmp_path
+):
+    """The optional 4d span-excision stage (VERDICT r5 #2): a verbatim
+    11-token phrase planted inside THREE otherwise window-unique
+    documents (below the near-dup Jaccard threshold, so document dedup
+    keeps all three) survives in exactly ONE output document — the
+    canonical occurrence — and the funnel records the removed tokens.
+    Bodies interleave the doc id every <=4 tokens so no organic 8-token
+    window repeats across documents."""
+    from jobs.run_curation import curate
+
+    planted = "every ship that ever came to trade in salt and wool"
+    texts = []
+    for i in range(12):
+        body = (
+            f"the town {i} keeps a full record {i} of every boat {i}"
+            f" that came to rest {i} near the old pier {i} while"
+            f" people {i} read the long pages {i} aloud during"
+            f" winter {i}"
+        )
+        if i in (2, 5, 9):
+            body = body + " " + planted
+        texts.append((i, body))
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    out = str(tmp_path / "span_run")
+    summary = curate(
+        spark,
+        docs,
+        out,
+        budget=200,
+        n_shards=2,
+        max_line_df=100,  # keep the boilerplate stage out of the way
+        span_dedup_len=8,
+    )
+    f = summary["funnel"]
+    n_planted = len(planted.split())
+    assert f["span_tokens_removed"] == 2 * n_planted  # two later copies
+    assert f["emptied_by_span_dedup"] == 0
+    assert f["after_span_dedup"] == f["after_paragraph_dedup"]
+    final = spark.read.parquet(f"{out}/curated")
+    rows = {r.doc_id: r.text for r in final.collect()}
+    assert set(rows) == set(range(12))
+    carriers = [d for d in (2, 5, 9) if planted in rows[d]]
+    assert carriers == [2]  # canonical = smallest (id, pos)
+    # the excised docs keep their own words minus the repeat only
+    assert "the long pages 5" in rows[5] and planted not in rows[5]
+    # n_tokens describes the text that ships (shipped-text invariant)
+    tok_rows = {
+        r.doc_id: (r.n_tokens, len(r.text.split()))
+        for r in final.select("doc_id", "n_tokens", "text").collect()
+    }
+    for d, (n, actual) in tok_rows.items():
+        assert n == actual, (d, n, actual)

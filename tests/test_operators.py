@@ -1381,3 +1381,109 @@ def test_bpe_doc_token_counts(spark):
     low_len = out[2][1]
     assert out[1][0] == 3 and out[2][0] == 1
     assert out[1][1] > 2 * low_len  # 'lower' adds at least one symbol
+
+
+def test_operator_caches_release_deterministically(spark):
+    """Cache hygiene (VERDICT r5): every cache() a dedup-family operator
+    takes is enrolled in the module registry and released by ONE call,
+    so long-running jobs don't accrete executor storage round over
+    round.  The CacheManager must be empty again after release."""
+    from memo_fraktur_ocr_code_spark.operators import dedup
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    dedup._OPERATOR_CACHES.clear()
+    assert cm.isEmpty()
+
+    docs = _docs(spark)
+    dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    dedup.minhash_lsh_pairs(
+        docs, n=3, threshold=0.7, num_hashes=32, bands=16
+    ).collect()
+    dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    assert not cm.isEmpty()  # the shared intermediates really cached
+    assert len(dedup._OPERATOR_CACHES) >= 4
+
+    dedup.release_operator_caches()
+    assert dedup._OPERATOR_CACHES == []
+    assert cm.isEmpty()
+    # idempotent
+    dedup.release_operator_caches()
+    assert cm.isEmpty()
+
+
+def test_remove_duplicate_spans_excises_noncanonical_only(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        remove_duplicate_spans,
+        substring_span_stats,
+    )
+
+    para = (
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    rows = [
+        (0, "Unique Text starts here " + para),
+        (1, "other words lead in " + para + " and a tail follows on"),
+        (2, "short doc"),
+        (3, None),
+        (4, "Another    Spaced\tdoc with CAPS kept and no repeats"),
+        (5, "second copy carrier text " + para + " trailing words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, span_len=8).collect()
+    }
+    # keep-everything: every input doc has exactly one output row
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    # the canonical occurrence (smallest (id, pos)) SURVIVES…
+    assert para in out[0].clean_text
+    # …and every later verbatim copy is excised exactly once, leaving
+    # the surrounding text intact
+    assert out[1].clean_text == "other words lead in and a tail follows on"
+    assert out[5].clean_text == (
+        "second copy carrier text trailing words here"
+    )
+    assert out[1].n_removed_tokens == 12
+    assert out[5].n_removed_tokens == 12
+    # corpus-wide: the repeated paragraph now appears exactly once
+    n_survivors = sum(
+        1 for r in out.values() if para in (r.clean_text or "")
+    )
+    assert n_survivors == 1
+    # untouched docs: collapsed whitespace, casing preserved, zero audit
+    assert out[4].clean_text == (
+        "Another Spaced doc with CAPS kept and no repeats"
+    )
+    assert out[4].n_removed_tokens == 0
+    assert out[3].clean_text == "" and out[3].n_removed_tokens == 0
+    # audited invariant: n_removed_tokens == the stats pass's dup_tokens
+    st = {
+        r.doc_id: r.dup_tokens
+        for r in substring_span_stats(df, span_len=8).collect()
+    }
+    assert {k: v.n_removed_tokens for k, v in out.items()} == st
+
+
+def test_remove_duplicate_spans_merges_overlapping_windows(spark):
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # 12-token repeat = 5 overlapping 8-token windows; coverage must
+    # merge to ONE 12-token interval, not 5 * 8 removals — and a repeat
+    # ADJACENT to itself (24 tokens of coverage) folds into one interval
+    rep = "a b c d e f g h i j k l"
+    rows = [
+        (0, "seed copy " + rep),
+        (1, rep + " " + rep),  # two adjacent copies, both non-canonical
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(df, span_len=8).collect()
+    }
+    assert out[0].n_removed_tokens == 0
+    # doc 1: all 24 tokens are covered by repeats of doc 0's canonical
+    assert out[1].n_removed_tokens == 24
+    assert out[1].clean_text == ""

@@ -5482,7 +5482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_fix_hyphens": _q_e2_fix_hyphens,
         "e6_levenshtein": _q_e6_levenshtein,
         "e7_difftype": _q_e7_difftype,
-        "e10_e11_render": _q_e10_e11_render,
         "e9_strip_gold_markers": _q_e9_strip_gold_markers,
         # §2.2 filters
         "f1_discard_filter": _q_f1_discard_filter,
@@ -5497,7 +5496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_index_intersection": _q_u2_index_intersection,
         "w2_sessionize": _q_w2_sessionize,
         "w3_cross_chunk_hyphen": _q_w3_cross_chunk_hyphen,
-        "w4_chunk_key": _q_w4_chunk_key,
         # §2.5 aggregations
         "a1_unigram_freq": _q_a1_unigram,
         "a2_bigram_freq": _q_a2_bigram,
@@ -5526,10 +5524,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_srp_lsh_topk": _q_srp_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "lang_id": _q_lang_id,
-        "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
-        "token_count": _q_token_counts,
-        "fingerprint": _q_fingerprint,
+        # r6 rotation (VERDICT r5 #3): the r5 flagship LLM-pipeline
+        # operators enter the driver window; the rotated-out
+        # redundant-coverage variants (e10_e11_render, w4_chunk_key,
+        # quality_score, token_count, fingerprint) keep their oracle
+        # coverage in extra_queries() — the r2 precedent
+        "semantic_dedup": _q_semantic_dedup,
+        "incremental_minhash_dedup": _q_incremental_minhash,
+        "bpe_train_merges": _q_bpe_train,
+        "dsir_importance": _q_dsir_importance,
+        "extract_links": _q_extract_links,
         "multimodal_features": _q_multimodal_features,
         # flagship composition: the assembly+easy core has a full DuckDB
         # oracle (two-pass pilcrow dehyphenation replicated in SQL)
@@ -6214,10 +6219,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions: the opcode family's first independent
         # cross-engine checks (E8/A7 vs frozen sequential-kernel
         # fixtures, A8 vs DuckDB's own levenshtein)
+        # r6 rotation: demoted from the driver window (each was
+        # driver-green in CORRECTNESS_r01-r05); identical oracle
+        # contract here
+        "e10_e11_render": _q_e10_e11_render,
+        "w4_chunk_key": _q_w4_chunk_key,
+        "quality_score": _q_quality,
+        "token_count": _q_token_counts,
+        "fingerprint": _q_fingerprint,
         "opcode_summary": _q_opcode_summary,
         "opcode_breakdown": _q_opcode_breakdown,
         "error_cases": _q_error_cases,
-        "incremental_minhash_dedup": _q_incremental_minhash,
         "cluster_assign": _q_cluster_assign,
         # r5 session 2: exact-substring span dedup (Lee et al. 2022) —
         # window-hash sketch with planted overlapping-window paragraph
@@ -6238,20 +6250,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 session 2: IVF-PQ — trained coarse lists over PQ codes,
         # candidate-restricted ADC (FAISS IndexIVFPQ decomposition)
         "ivfpq_topk": _q_ivfpq_topk,
-        # r5 session 2: web-graph extraction — outlink explosion with
-        # canonical URLs + eTLD+1, and canonical-URL frontier dedup
-        "extract_links": _q_extract_links,
         "url_dedup": _q_url_dedup,
-        # r5 session 2: SemDeDup — cluster-then-dedup semantic near-dup
-        # removal over the trained codebook (planted copies/perturbations)
-        "semantic_dedup": _q_semantic_dedup,
         # r5 session 2: transcript/code-fence + heading-outline extraction
         "code_blocks": _q_code_blocks,
         "html_outline": _q_html_outline,
         # r5 session 2: overlapping sliding-window RAG chunking
         "chunk_sliding": _q_chunk_sliding,
-        # r5 session 2: distributed BPE tokenizer training + encoding
-        "bpe_train_merges": _q_bpe_train,
         "bpe_encode_words": _q_bpe_encode,
         "bpe_token_count": _q_bpe_token_count,
         # r5 session 2: exact rank-quantile thresholds -> CCNet tertiles
@@ -6278,7 +6282,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_truncate": _q_transcript_truncate,
         # r5 session 4: DSIR hashed-ngram importance resampling (Xie et
         # al. 2023) — bucket-capped count aggs + bounded broadcast
-        "dsir_importance": _q_dsir_importance,
         "dsir_resample": _q_dsir_resample,
         # r5 session 4: trigram Stupid Backoff LM (Brants et al. 2007)
         # — held-out-trained so the backoff branches are live

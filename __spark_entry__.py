@@ -4105,7 +4105,20 @@ def _q_extract_links(spark, sf_dir):
         registered_domain,
     )
 
-    links = extract_links(_links_pages(spark, sf_dir))
+    return _extract_links_over(_links_pages(spark, sf_dir))
+
+
+def _extract_links_over(pages):
+    """Operator-only half of `extract_links` — takes the (doc_id, html)
+    page table so bench.py can materialize the synthesized pages once
+    and time extraction, not synthesis (VERDICT r5 #6)."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        canonicalize_url,
+        extract_links,
+        registered_domain,
+    )
+
+    links = extract_links(pages)
     canon = canonicalize_url(F.col("href"))
     host = F.nullif(
         F.regexp_extract(
@@ -4184,7 +4197,17 @@ def _q_url_dedup(spark, sf_dir):
         extract_links,
     )
 
-    links = extract_links(_links_pages(spark, sf_dir))
+    return _url_dedup_over(_links_pages(spark, sf_dir))
+
+
+def _url_dedup_over(pages):
+    """Operator-only half of `url_dedup` (see _extract_links_over)."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        canonicalize_url,
+        extract_links,
+    )
+
+    links = extract_links(pages)
     canon = links.select(
         "id", canonicalize_url(F.col("href")).alias("canonical_url")
     ).where(F.col("canonical_url").isNotNull())
@@ -4325,6 +4348,11 @@ def _q_code_blocks(spark, sf_dir):
         extract_code_blocks,
     )
 
+    return _code_blocks_over(_fence_texts(spark, sf_dir))
+
+
+def _fence_texts(spark, sf_dir):
+    """Synthesized fenced agent-turn texts for the code-block family."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     w1 = F.coalesce(F.get(toks, 0), F.lit("w"))
@@ -4347,7 +4375,16 @@ def _q_code_blocks(spark, sf_dir):
             m(5) == 4, F.lit("\n```py\nunterminated"),
         ).otherwise(F.lit("")),
     )
-    out = extract_code_blocks(d.select("doc_id", txt.alias("text")))
+    return d.select("doc_id", txt.alias("text"))
+
+
+def _code_blocks_over(texts):
+    """Operator-only half of `code_blocks` (see _extract_links_over)."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        extract_code_blocks,
+    )
+
+    out = extract_code_blocks(texts)
     return out.select(
         "id",
         F.col("block_idx").cast("long").alias("block_idx"),
@@ -4408,6 +4445,11 @@ def _q_html_outline(spark, sf_dir):
         extract_outline,
     )
 
+    return _html_outline_over(_outline_pages(spark, sf_dir))
+
+
+def _outline_pages(spark, sf_dir):
+    """Synthesized heading pages for the outline family."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     w1 = F.coalesce(F.get(toks, 0), F.lit("w"))
@@ -4424,7 +4466,16 @@ def _q_html_outline(spark, sf_dir):
         F.lit("<script>var t = '<h4>decoy</h4>';</script>"),
         F.when(m(4) == 0, F.lit("<h6></h6>")).otherwise(F.lit("")),
     )
-    out = extract_outline(d.select("doc_id", html.alias("html")))
+    return d.select("doc_id", html.alias("html"))
+
+
+def _html_outline_over(pages):
+    """Operator-only half of `html_outline` (see _extract_links_over)."""
+    from memo_fraktur_ocr_code_spark.operators.extraction import (
+        extract_outline,
+    )
+
+    out = extract_outline(pages)
     return out.select(
         "id",
         F.col("pos").cast("long").alias("pos"),
@@ -5467,6 +5518,22 @@ SELECT d.doc_id, d.source AS domain,
 FROM documents d JOIN w ON w.domain IS NOT DISTINCT FROM d.source
 ORDER BY d.doc_id
 """
+
+
+def extraction_bench_split():
+    """(input-builder, operator-only) halves of the extraction-family
+    queries, keyed by registered query name.  bench.py materializes each
+    input ONCE per session (reporting synthesis cost separately) and
+    times the operator half over parquet — so the recorded number
+    measures extraction, not both engines synthesizing messy pages
+    inside the timed query (VERDICT r5 #6).  The registered queries
+    compose the same two halves, so the oracle contract is untouched."""
+    return {
+        "extract_links": ("links_pages", _links_pages, _extract_links_over),
+        "url_dedup": ("links_pages", _links_pages, _url_dedup_over),
+        "code_blocks": ("fence_texts", _fence_texts, _code_blocks_over),
+        "html_outline": ("outline_pages", _outline_pages, _html_outline_over),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

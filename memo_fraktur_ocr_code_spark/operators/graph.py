@@ -54,11 +54,14 @@ def pagerank(
     reuse the exchange) + one dst-keyed aggregation with map-side
     combine absorbing hub skew + ONE single-row dangling-mass
     aggregate (an anti-join of ranks vs the degree table, shrinking to
-    one row — the price of mass conservation).  That aggregate runs a
-    job every iteration anyway, so lineage is ALSO cut every iteration
-    via ``localCheckpoint`` — the recompute-free shape;
-    ``checkpoint_every`` is retained for API compatibility but the
-    effective cadence is now 1.
+    one row — the price of mass conservation).  When the graph has
+    dangling nodes, that aggregate runs a job every iteration anyway,
+    so lineage is ALSO cut every iteration via ``localCheckpoint`` —
+    the recompute-free shape.  A graph with NO dangling nodes (checked
+    once, structurally) can never leak mass: the per-iteration
+    aggregate is skipped and the loop keeps the original lazy shape
+    with ``checkpoint_every``-cadence checkpoints — zero extra jobs on
+    the common closed-graph case.
     """
     from memo_fraktur_ocr_code_spark.operators.dedup import (
         _release_local_checkpoint,
@@ -75,29 +78,41 @@ def pagerank(
     fan = e.join(out_deg, "src")
     ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("long"))
     base = PPM - (DAMP_NUM * PPM) // DAMP_DEN
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return ranks
+    dang_nodes = nodes.join(
+        out_deg, nodes["node"] == out_deg["src"], "left_anti"
+    )
+    # ONE structural pre-check: a graph with no dangling nodes (every
+    # node has out-edges — e.g. every crawl graph closed under "links
+    # to") can never leak mass, so the per-iteration dangling aggregate
+    # and its forced materialization are skipped entirely and the loop
+    # keeps the original lazy shape with cadence checkpoints.
+    has_dangling = dang_nodes.limit(1).count() > 0
+    n_nodes = nodes.count() if has_dangling else 0
     prev_ck = None
-    for _i in range(1, iters + 1):
-        # Materialize last iteration's ranks once; BOTH consumers (the
-        # dangling aggregate and the shares join) read the checkpoint,
-        # so the double consumption costs no recompute.
-        ranks = ranks.localCheckpoint(eager=True)
-        if prev_ck is not None:
-            _release_local_checkpoint(prev_ck)
-        prev_ck = ranks
-        # dangling mass: ranks of nodes with no out-edges, folded back
-        # uniformly (integer DIV — the < n_nodes ppm remainder is the
-        # only mass lost per iteration, deterministic on every engine)
-        dang = (
-            ranks.join(
-                out_deg, ranks["node"] == out_deg["src"], "left_anti"
+    for i in range(1, iters + 1):
+        if has_dangling:
+            # Materialize last iteration's ranks once; BOTH consumers
+            # (the dangling aggregate and the shares join) read the
+            # checkpoint, so the double consumption costs no recompute.
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _release_local_checkpoint(prev_ck)
+            prev_ck = ranks
+            # dangling mass folded back uniformly (integer DIV — the
+            # < n_nodes ppm remainder is the only mass lost per
+            # iteration, deterministic on every engine)
+            dang = (
+                ranks.join(
+                    out_deg,
+                    ranks["node"] == out_deg["src"],
+                    "left_anti",
+                )
+                .agg(F.sum("rank_ppm").alias("d"))
+                .head()[0]
             )
-            .agg(F.sum("rank_ppm").alias("d"))
-            .head()[0]
-        )
-        redist = int(dang or 0) // n_nodes
+            redist = int(dang or 0) // n_nodes
+        else:
+            redist = 0
         shares = (
             fan.join(ranks, fan["src"] == ranks["node"])
             .select(
@@ -120,7 +135,15 @@ def pagerank(
                 ).cast("long").alias("rank_ppm"),
             )
         )
-    ranks = ranks.localCheckpoint(eager=True)
-    if prev_ck is not None:
-        _release_local_checkpoint(prev_ck)
+        if not has_dangling and (
+            i % checkpoint_every == 0 or i == iters
+        ):
+            nxt = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _release_local_checkpoint(prev_ck)
+            ranks, prev_ck = nxt, nxt
+    if has_dangling:
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev_ck is not None:
+            _release_local_checkpoint(prev_ck)
     return ranks

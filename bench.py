@@ -230,9 +230,16 @@ def run_headline(spark, sf_dir: str, lexicon) -> dict[str, float]:
         else:
             fn = qs[name]
         # min of 2 draws: first-draw JIT/scan warmup and co-tenant bursts
-        # on this shared VM otherwise swing single-shot times 1.5-3×
-        best = None
-        for _ in range(2):
+        # on this shared VM otherwise swing single-shot times 1.5-3×.
+        # If the two draws disagree >1.4× the window was dirty for one
+        # of them — take a third (bounded: at most one extra) so a
+        # single co-tenant burst can't flag the query as a regression.
+        draws: list[float] = []
+        while len(draws) < 2 or (
+            len(draws) == 2
+            and min(draws) > 0.3
+            and max(draws) / min(draws) > 1.4
+        ):
             t0 = time.time()
             if name == "pipeline_correct_turns":
                 _run_pipeline_count(spark, lexicon)
@@ -249,10 +256,8 @@ def run_headline(spark, sf_dir: str, lexicon) -> dict[str, float]:
                 df.select(
                     F.xxhash64(*df.columns).alias("_h")
                 ).agg(F.expr("bit_xor(_h)")).collect()
-            dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
-        times[name] = round(best, 3)
+            draws.append(time.time() - t0)
+        times[name] = round(min(draws), 3)
     return times
 
 

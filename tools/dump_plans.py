@@ -23,6 +23,14 @@ def main():
 
     sections = []
 
+    # merged-registry resolver — rotation-proof (registry membership
+    # moves between queries() and extra_queries() across rounds)
+    merged_q = dict(e.queries())
+    merged_q.update(e.extra_queries())
+
+    def _q(name):
+        return merged_q[name]
+
     def add(title, df, note):
         p = plan(df)
         lines = p.splitlines()
@@ -48,19 +56,19 @@ def main():
     )
     add(
         "TPC-H Q1-style aggregate (q1_lineitem_agg)",
-        e.queries()["q1_lineitem_agg"](spark, sf),
+        _q("q1_lineitem_agg")(spark, sf),
         "Predicate pushdown to the parquet scan, column pruning to 6 "
         "columns, partial (map-side) HashAggregate before the exchange.",
     )
     add(
         "Order-revenue top-k (j4_q3_top_orders)",
-        e.queries()["j4_q3_top_orders"](spark, sf),
+        _q("j4_q3_top_orders")(spark, sf),
         "Both dimension joins planned as BroadcastHashJoin; top-k as "
         "TakeOrderedAndProject (no global sort).",
     )
     add(
         "MinHash-LSH near-dup pairs (dedup_minhash_lsh)",
-        e.queries()["dedup_minhash_lsh"](spark, sf),
+        _q("dedup_minhash_lsh")(spark, sf),
         "Candidates via band-bucket equi-join (SortMergeJoin on (band, "
         "bucket)) — shuffles scale with candidates, never |docs|²; the "
         "signature-estimate pre-prune (r3) shrinks the exact shingle "
@@ -68,21 +76,21 @@ def main():
     )
     add(
         "Exact cosine top-k (sim_ann_cosine)",
-        e.queries()["sim_ann_cosine"](spark, sf),
+        _q("sim_ann_cosine")(spark, sf),
         "Query side broadcast (BroadcastNestedLoopJoin over the small "
         "query set); scores fold JVM-side (zip_with/aggregate inside "
         "codegen); window top-k per query.",
     )
     add(
         "SRP-LSH embedding dedup (dedup_embedding_srp)",
-        e.queries()["dedup_embedding_srp"](spark, sf),
+        _q("dedup_embedding_srp")(spark, sf),
         "Multi-band bucket equi-join (2×6-bit bands ORed via posexplode + "
         "distinct) — no crossJoin in the plan; exact cosine verify only "
         "on same-bucket pairs.",
     )
     add(
         "IVF-style ANN (sim_ivf_topk)",
-        e.queries()["sim_ivf_topk"](spark, sf),
+        _q("sim_ivf_topk")(spark, sf),
         "Window-free centroid pick: TakeOrderedAndProject selects the "
         "n_lists smallest-id vectors (r3 fix — no single-partition "
         "Window anywhere); corpus assignment via broadcast argmax, "
@@ -90,7 +98,7 @@ def main():
     )
     add(
         "Top-N calibration sum (a10_augmented_dict uses top_n_sum)",
-        e.queries()["a10_augmented_dict"](spark, sf),
+        _q("a10_augmented_dict")(spark, sf),
         "Distributed top-k: TakeOrderedAndProject feeds the sum — no "
         "single-partition Window in the plan (VERDICT r1 item 5).",
     )
@@ -113,14 +121,14 @@ def main():
     )
     add(
         "Gopher repetition filters (repetition_stats)",
-        e.queries()["repetition_stats"](spark, sf),
+        _q("repetition_stats")(spark, sf),
         "Line measures are per-row array expressions inside codegen; the "
         "top-2-gram mode is one hash-aggregate shuffle on (doc, gram) + a "
         "doc-partitioned window — scales with corpus, never corpus².",
     )
     add(
         "Trained-codebook IVF ANN (sim_ivf_trained_topk)",
-        e.extra_queries()["sim_ivf_trained_topk"](spark, sf),
+        _q("sim_ivf_trained_topk")(spark, sf),
         "2 Lloyd rounds: each a broadcast-argmax assignment (no corpus "
         "shuffle) + a (list,dim)-keyed aggregation whose reduce "
         "cardinality is n_lists x dim; no SinglePartition anywhere and "
@@ -129,7 +137,7 @@ def main():
     )
     add(
         "Benchmark decontamination (decontaminate_bench)",
-        e.extra_queries()["decontaminate_bench"](spark, sf),
+        _q("decontaminate_bench")(spark, sf),
         "The benchmark gram set is a BroadcastExchange; training-corpus "
         "grams are pipelined posexplode off the scan (no shuffle) and "
         "only matching hits enter the per-doc count aggregation — "
@@ -137,14 +145,14 @@ def main():
     )
     add(
         "Token-budget pack assignment (pack_token_budget)",
-        e.extra_queries()["pack_token_budget"](spark, sf),
+        _q("pack_token_budget")(spark, sf),
         "The running-sum window is PARTITIONED by shard (hash exchange "
         "on shard, never SinglePartition) — per-shard quota packing "
         "parallelizes to n_shards at any corpus size.",
     )
     add(
         "Chat-template conversation rendering (transcript_render)",
-        e.extra_queries()["transcript_render"](spark, sf),
+        _q("transcript_render")(spark, sf),
         "ONE conversation-keyed hash aggregate (collect_list) with the "
         "ordering done by array_sort INSIDE the aggregate — no window, "
         "no sort exchange; over bucket(conv_id) tables the single "
@@ -152,14 +160,14 @@ def main():
     )
     add(
         "SFT context-window mining (transcript_sft_pairs)",
-        e.extra_queries()["transcript_sft_pairs"](spark, sf),
+        _q("transcript_sft_pairs")(spark, sf),
         "One conversation-partitioned window with a BOUNDED "
         "rowsBetween(-k,-1) frame — per-row state is k turns, whale "
         "conversations cost O(k); the only Exchange keys on conv_id.",
     )
     add(
         "Shared-prefix conversation dedup (transcript_prefix_dedup)",
-        e.extra_queries()["transcript_prefix_dedup"](spark, sf),
+        _q("transcript_prefix_dedup")(spark, sf),
         "Turn-level work is one conversation-keyed aggregate; the "
         "group/keeper aggregate and its join run over the already "
         "conversation-sized signature table (corpus-of-turns never "
@@ -167,7 +175,7 @@ def main():
     )
     add(
         "DSIR importance resampling (dsir_importance)",
-        e.extra_queries()["dsir_importance"](spark, sf),
+        _q("dsir_importance")(spark, sf),
         "Both corpus-sized aggregations key on the hashed bucket — "
         "reduce cardinality CAPPED at n_buckets by construction, so "
         "map-side combine absorbs essentially all rows; the per-bucket "
@@ -178,7 +186,7 @@ def main():
     )
     add(
         "Trigram Stupid Backoff LM (stupid_backoff_lm)",
-        e.extra_queries()["stupid_backoff_lm"](spark, sf),
+        _q("stupid_backoff_lm")(spark, sf),
         "Three Zipf-keyed count aggregations (uni/bi/trigram) with "
         "partial map-side combine + five UNHINTED left joins of the "
         "positions stream against them — AQE broadcasts the count "
@@ -188,7 +196,7 @@ def main():
     )
     add(
         "Embedding-level decontamination (embedding_decontaminate)",
-        e.extra_queries()["embedding_decontaminate"](spark, sf),
+        _q("embedding_decontaminate")(spark, sf),
         "The REGISTERED plan is the SRP scale path: corpus vectors "
         "hash to banded signatures map-side (Arrow twin of the "
         "Catalyst fold), candidates come from a band equi-join against "
@@ -198,7 +206,7 @@ def main():
     )
     add(
         "Paragraph-level exact dedup (dedup_paragraphs)",
-        e.extra_queries()["dedup_paragraphs"](spark, sf),
+        _q("dedup_paragraphs")(spark, sf),
         "Three keyed exchanges, all necessary: the paragraph-owner "
         "aggregation (min(struct) — partial-aggregatable, so Zipf-hot "
         "paragraphs combine map-side), the UNHINTED owner join (AQE "
@@ -208,7 +216,7 @@ def main():
     )
     add(
         "Count-min sketch build + estimate (cms_heavy_hitters)",
-        e.extra_queries()["cms_heavy_hitters"](spark, sf),
+        _q("cms_heavy_hitters")(spark, sf),
         "The sketch build expands rows depth x map-side and partially "
         "aggregates immediately — the exchange carries counter state "
         "bounded by depth*width per task.  The estimate side joins a "
@@ -217,7 +225,7 @@ def main():
     )
     add(
         "Integer-ppm PageRank, 5 iterations (pagerank)",
-        e.extra_queries()["pagerank"](spark, sf),
+        _q("pagerank")(spark, sf),
         "Each iteration is one src-keyed join (ranks x out-edges) + "
         "one dst-keyed aggregation with map-side combine absorbing hub "
         "skew; consecutive iterations rendezvous on the same hash "
@@ -226,7 +234,7 @@ def main():
     )
     add(
         "Bloom membership pre-screen (bloom_decontaminate)",
-        e.extra_queries()["bloom_decontaminate"](spark, sf),
+        _q("bloom_decontaminate")(spark, sf),
         "The filter side is a FORCED broadcast with a structural bound "
         "(at most m_bits/32 rows regardless of corpus size); the probe "
         "stream expands k positions map-side off the scan and reduces "
@@ -235,15 +243,28 @@ def main():
     )
     add(
         "Epoch-level repetition (expand_epochs)",
-        e.extra_queries()["expand_epochs"](spark, sf),
+        _q("expand_epochs")(spark, sf),
         "The weights table is |domains| rows broadcast by construction; "
         "the replication itself is a map-side explode off the scan — "
         "rows out IS the product (the temperature mix materialized), "
         "not shuffle overhead.",
     )
     add(
+        "Exact-substring span excision (remove_dup_spans)",
+        _q("remove_dup_spans")(spark, sf),
+        "The apply half of Lee et al. substring dedup: only "
+        "(span_key, id, pos) triples shuffle (text stays in the "
+        "scan), the canonical election is one map-side-combined hash "
+        "aggregation, the occ>1 slice joins back UNHINTED (tiny under "
+        "Zipf -> AQE broadcast; unbounded on boilerplate-heavy "
+        "corpora -> shuffle join), and the excision itself is "
+        "per-document array work off the positions list — merged "
+        "intervals first, so the per-token coverage test is "
+        "O(tokens x merged-intervals).",
+    )
+    add(
         "Batch hopping-window rollup (window_rollup)",
-        e.extra_queries()["window_rollup"](spark, sf),
+        _q("window_rollup")(spark, sf),
         "Expand (size/slide replicas per row) happens map-side off the "
         "scan; one hash aggregation on (window, event_type) with the "
         "distinct-user expand — the exact batch twin of the streaming "

@@ -613,6 +613,16 @@ def _write_bench_md(out: dict) -> None:
             lines.append(f"| {k} | {v} | — | — |")
     lines.append("")
     lines.append(f"Total: {out['value']} sec.")
+    if out.get("extraction_synthesis_sec"):
+        synth = ", ".join(
+            f"{k}: {v}s"
+            for k, v in out["extraction_synthesis_sec"].items()
+        )
+        lines.append(
+            f"\nExtraction-family inputs synthesized once per session"
+            f" (r6 — the timed rows above measure extraction over"
+            f" parquet, not page synthesis): {synth}."
+        )
     if prev:
         common = [k for k in out["queries"] if k in prev]
         tot_now = sum(out["queries"][k] for k in common)

@@ -130,9 +130,15 @@ def _spark(master: str):
 
     # 128 shuffle partitions at every parallelism level: multiple task
     # waves per stage smooth stragglers and keep the 8-vs-32 comparison on
-    # identical physical work.
+    # identical physical work.  Console progress bars OFF: the round
+    # driver captures stdout+stderr merged, and \r progress frames
+    # interleaving with the final JSON line made BENCH_r05's payload
+    # unparseable (parsed: null in the recorded artifact).
     return get_spark(
-        master=master, app_name=f"bench-{master}", shuffle_partitions=128
+        master=master,
+        app_name=f"bench-{master}",
+        shuffle_partitions=128,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
 
@@ -483,7 +489,13 @@ def main():
         out["turns_per_sec_highcores"] = scaling[hi]["turns_per_sec"]
         out["scaling_efficiency"] = scaling["scaling_efficiency"]
         _write_bench_md(out)
-    print(json.dumps(out))
+    # the JSON line must be the LAST thing on the merged stream: all
+    # Spark sessions are stopped above, stderr gets a beat to drain,
+    # and the line is flushed explicitly (the r5 artifact recorded
+    # parsed: null because trailing JVM-shutdown stderr raced the line)
+    sys.stderr.flush()
+    time.sleep(1)
+    print(json.dumps(out), flush=True)
 
 
 def _exact_match_rate() -> float:

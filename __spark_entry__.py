@@ -5925,7 +5925,11 @@ def _q_pagerank(spark, sf_dir):
             )
         )
     )
-    return pagerank(edges, iters=5).orderBy("node")
+    # dangling=False is PROVEN by construction: every node's id is a
+    # doc_id, and every doc_id emits two arithmetic out-edges — the
+    # graph is closed, so the auto-detect pre-check job is skipped
+    # (its answer is statically known; values are identical either way)
+    return pagerank(edges, iters=5, dangling=False).orderBy("node")
 
 
 def _pagerank_oracle_sql(iters: int = 5) -> str:

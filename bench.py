@@ -549,7 +549,22 @@ def _previous_round_queries() -> dict[str, float] | None:
     try:
         with open(best[1]) as f:
             rec = json.load(f)
-        q = rec.get("parsed", rec).get("queries")
+        parsed = rec.get("parsed", rec)
+        if parsed is None:
+            # the r5 artifact recorded parsed: null — its tail keeps
+            # only the LAST chunk of the merged stream, truncating the
+            # JSON line's head.  The flat per-query dict survives in
+            # the tail; recover it by brace-matching after the
+            # "queries" key instead of dropping the baseline entirely.
+            import re as _re
+
+            m2 = _re.search(
+                r'"queries":\s*(\{[^{}]*\})', rec.get("tail", "")
+            )
+            parsed = (
+                {"queries": json.loads(m2.group(1))} if m2 else {}
+            )
+        q = parsed.get("queries")
         return {k: float(v) for k, v in q.items()} if q else None
     except (OSError, ValueError, AttributeError):
         return None

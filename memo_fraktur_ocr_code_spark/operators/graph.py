@@ -31,6 +31,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    dangling: bool | None = None,
 ) -> DataFrame:
     """Integer-ppm PageRank over a directed edge list → ``(node,
     rank_ppm)`` for every node that appears as a source or target.
@@ -78,15 +79,21 @@ def pagerank(
     fan = e.join(out_deg, "src")
     ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("long"))
     base = PPM - (DAMP_NUM * PPM) // DAMP_DEN
-    dang_nodes = nodes.join(
-        out_deg, nodes["node"] == out_deg["src"], "left_anti"
-    )
-    # ONE structural pre-check: a graph with no dangling nodes (every
-    # node has out-edges — e.g. every crawl graph closed under "links
-    # to") can never leak mass, so the per-iteration dangling aggregate
-    # and its forced materialization are skipped entirely and the loop
-    # keeps the original lazy shape with cadence checkpoints.
-    has_dangling = dang_nodes.limit(1).count() > 0
+    # A graph with no dangling nodes (every node has out-edges — e.g.
+    # a graph closed under "links to") can never leak mass, so the
+    # per-iteration dangling aggregate and its forced materialization
+    # are skipped entirely and the loop keeps the original lazy shape
+    # with cadence checkpoints.  ``dangling=None`` auto-detects with
+    # ONE structural pre-check job; callers that KNOW their graph is
+    # closed (e.g. every src/dst generated from the same node set)
+    # pass ``dangling=False`` and skip that job too.
+    if dangling is None:
+        dang_nodes = nodes.join(
+            out_deg, nodes["node"] == out_deg["src"], "left_anti"
+        )
+        has_dangling = dang_nodes.limit(1).count() > 0
+    else:
+        has_dangling = bool(dangling)
     n_nodes = nodes.count() if has_dangling else 0
     prev_ck = None
     for i in range(1, iters + 1):

@@ -3605,6 +3605,60 @@ ORDER BY t.doc_id
 """
 
 
+def _q_unimax_mixing(spark, sf_dir):
+    """UniMax budget allocation (curation.unimax_budgets — Chung et al.
+    ICLR 2023): equal token shares per domain unless the 2-epoch cap
+    binds, at a budget of 3x the corpus (so small domains hit their cap
+    and free budget for the large ones — both branches exercised).  The
+    oracle replays the ascending-order allocation walk as a recursive
+    CTE with the same integer arithmetic."""
+    from memo_fraktur_ocr_code_spark.operators import textstats as ts
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        unimax_budgets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.select(
+        F.sum(F.size(ts._ws_tokens("text"))).cast("long")
+    ).collect()[0][0]
+    return unimax_budgets(
+        docs, budget_tokens=3 * int(tot), max_epochs=2
+    )
+
+
+_SQL_UNIMAX = f"""
+WITH RECURSIVE per AS (
+  SELECT source AS domain, sum(len({_SQL_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+t AS (SELECT sum(n_tokens)::BIGINT * 3 AS budget,
+             count(*)::BIGINT AS nd FROM per),
+ord AS (
+  SELECT domain, n_tokens,
+         row_number() OVER (
+           ORDER BY n_tokens, coalesce(domain, '')
+         )::BIGINT AS rn
+  FROM per),
+walk AS (
+  SELECT 0::BIGINT AS rn, (SELECT budget FROM t) AS remaining,
+         CAST(NULL AS VARCHAR) AS domain, 0::BIGINT AS n_tokens,
+         0::BIGINT AS alloc
+  UNION ALL
+  SELECT o.rn,
+         w.remaining - least(o.n_tokens * 2,
+                             w.remaining // ((SELECT nd FROM t) - w.rn)),
+         o.domain, o.n_tokens,
+         least(o.n_tokens * 2,
+               w.remaining // ((SELECT nd FROM t) - w.rn))
+  FROM walk w JOIN ord o ON o.rn = w.rn + 1
+)
+SELECT domain, n_tokens, n_tokens * 2 AS cap_tokens,
+       alloc AS alloc_tokens,
+       (CASE WHEN n_tokens > 0 THEN (alloc * 10000) // n_tokens
+             ELSE 0 END)::BIGINT AS epochs_bp
+FROM walk WHERE rn > 0 ORDER BY domain
+"""
+
+
 def _q_remove_dup_spans(spark, sf_dir):
     """The APPLY step of exact-substring dedup
     (dedup.remove_duplicate_spans): same planted corpus and window spec
@@ -6310,6 +6364,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next-round #2); oracle rebuilds via an independent range-join
         # coverage algorithm
         "remove_dup_spans": _q_remove_dup_spans,
+        # r6: UniMax epoch-capped budget allocation (Chung et al. 2023)
+        # — the fairness alternative to temperature sampling; oracle is
+        # a recursive-CTE replay of the integer allocation walk
+        "unimax_mixing": _q_unimax_mixing,
         # r5 session 2: product quantization end-to-end (train 4
         # subspace codebooks, encode, ADC top-k in integer micro-units)
         "pq_adc_topk": _q_pq_adc_topk,
@@ -6467,6 +6525,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assign": _sql_cluster_assign(),
         "dedup_substring": _SQL_SUBSTRING_SPANS,
         "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
+        "unimax_mixing": _SQL_UNIMAX,
         "pq_adc_topk": _sql_pq_adc_topk(),
         "html_main_content": _SQL_HTML_MAIN_CONTENT,
         "layout_reading_order": _SQL_LAYOUT_READING_ORDER,

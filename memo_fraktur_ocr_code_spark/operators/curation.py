@@ -1109,3 +1109,76 @@ def expand_epochs(
             ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
         ),
     )
+
+
+def unimax_budgets(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", ICLR 2023): distribute a total training-token budget
+    across domains so every domain gets an EQUAL share unless its
+    epoch cap binds — the published alternative to temperature
+    sampling (:func:`temperature_mix_weights`) that provably never
+    repeats a low-resource domain past ``max_epochs`` passes.
+
+    Algorithm (the paper's, integer-exact): visit domains in ASCENDING
+    token-count order (ties by domain name — a total order); each
+    domain receives ``min(n_tokens * max_epochs,
+    remaining_budget DIV remaining_domains)``; subtract and continue.
+    Small domains either take their full cap (freeing budget for the
+    rest) or the fair share, so the final mix is "equal shares, capped
+    by data".  All arithmetic is integer token counts (DIV) — the
+    oracle replays it bit-for-bit as a recursive CTE.
+
+    Output per domain: ``(domain, n_tokens, cap_tokens, alloc_tokens,
+    epochs_bp)`` where ``epochs_bp = alloc * 10000 DIV n_tokens``
+    (basis points of one epoch; 10000 = exactly one pass).
+
+    Scale: ONE domain-keyed aggregation over the corpus (map-side
+    combine, |domains| groups); the allocation walk itself is
+    driver-side over the collected |domains|-row table — bounded
+    metadata, the same pattern as ``quantile_cuts``'s bin walk, never
+    corpus-sized.  NULL domains form their own group (keep-everything,
+    like the temperature family)."""
+    from memo_fraktur_ocr_code_spark.operators.textstats import (
+        _ws_tokens,
+    )
+
+    if budget_tokens < 0 or max_epochs < 1:
+        raise ValueError("budget_tokens >= 0 and max_epochs >= 1")
+    spark = df.sparkSession
+    toks = F.size(_ws_tokens(text_col))
+    per = (
+        df.select(F.col(domain_col).alias("domain"), toks.alias("nt"))
+        .groupBy("domain")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+        .collect()
+    )
+    rows = sorted(per, key=lambda r: (r["n_tokens"], r["domain"] or ""))
+    remaining = int(budget_tokens)
+    out = []
+    for i, r in enumerate(rows):
+        n = int(r["n_tokens"])
+        cap = n * int(max_epochs)
+        fair = remaining // (len(rows) - i)
+        alloc = min(cap, fair)
+        remaining -= alloc
+        out.append(
+            (
+                r["domain"],
+                n,
+                cap,
+                alloc,
+                (alloc * 10000) // n if n > 0 else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "domain string, n_tokens long, cap_tokens long,"
+        " alloc_tokens long, epochs_bp long",
+    ).orderBy("domain")

@@ -359,3 +359,43 @@ def test_expand_epochs_replicates_by_weight(spark):
     assert all(c in (0, 1) for c in big_copies)
     kept = sum(big_copies)
     assert 40 <= kept <= 80, kept
+
+
+def test_unimax_budget_allocation(spark):
+    """UniMax (Chung et al. 2023): ascending walk, equal shares unless
+    the epoch cap binds; budget conserved up to DIV truncation; no
+    domain ever exceeds max_epochs passes."""
+    from memo_fraktur_ocr_code_spark.operators.curation import (
+        unimax_budgets,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    did = 0
+    for dom, n_docs in (("tiny", 1), ("mid", 5), ("big", 20)):
+        for _ in range(n_docs):
+            rows.append((did, dom, "tok " * 10))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # tokens: tiny=10, mid=50, big=200; total=260
+    out = {
+        r.domain: r
+        for r in unimax_budgets(df, budget_tokens=390, max_epochs=2).collect()
+    }
+    # walk ascending: tiny fair=130 cap=20 -> 20; mid fair=185 cap=100
+    # -> 100; big fair=270 cap=400 -> 270
+    assert out["tiny"].alloc_tokens == 20 and out["tiny"].epochs_bp == 20000
+    assert out["mid"].alloc_tokens == 100 and out["mid"].epochs_bp == 20000
+    assert out["big"].alloc_tokens == 270
+    assert out["big"].epochs_bp == (270 * 10000) // 200  # 13500
+    # conservation: caps bound supply, fair shares bound demand
+    assert sum(r.alloc_tokens for r in out.values()) == 390
+    for r in out.values():
+        assert r.epochs_bp <= 20000
+        assert r.cap_tokens == 2 * r.n_tokens
+    # budget larger than every cap: everything takes its cap exactly
+    full = {
+        r.domain: r.alloc_tokens
+        for r in unimax_budgets(df, budget_tokens=10_000, max_epochs=2).collect()
+    }
+    assert full == {"tiny": 20, "mid": 100, "big": 400}

@@ -110,3 +110,46 @@ def dedup_stream(
         )
         .dropDuplicatesWithinWatermark(["content_sig"])
     )
+
+
+def session_stream(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization — the live twin of the batch W2
+    operator (``annotate.sessionize``: split a conversation wherever
+    consecutive turns are more than ``gap`` apart).  Implemented with
+    ``F.session_window``: Spark merges overlapping per-key gap windows
+    as events arrive, the watermark closes a session once event time
+    passes ``session_end + gap``, and closed sessions emit exactly once
+    with their state evicted — bounded state on an unbounded transcript
+    feed (the standard dynamic-gap pattern, Structured Streaming
+    session windows, Spark 3.2+).
+
+    Output per (conv_id, session): ``(conv_id, session_start,
+    session_end, n_turns, n_chars)``.
+
+    Scale: state is one open session per active conversation — the
+    minimum any gap-based sessionizer can hold; the aggregation keys on
+    (conv_id, session_window), so hot conversations stay confined to
+    their key's partition."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col("conv_id"),
+            F.session_window(F.col(ts_col), gap).alias("win"),
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )

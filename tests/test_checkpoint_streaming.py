@@ -520,3 +520,60 @@ def test_checkpoint_empty_manifest_dir_is_clean_start(spark, tmp_path):
     assert read_stage(spark, str(out), "assemble").count() == len(
         transcripts
     )
+
+
+def test_streaming_session_windows_match_batch_gap_split(spark, tmp_path):
+    """session_stream (r6): the streaming session_window aggregation
+    groups turns into gap-separated sessions exactly like the batch W2
+    lag-split — two bursts 2 hours apart on one conversation become two
+    sessions; a second conversation's interleaved burst is its own."""
+    import datetime as dt
+
+    from memo_fraktur_ocr_code_spark.streaming.correct_stream import (
+        session_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        [("c1", i, "x" * 5, base + dt.timedelta(minutes=i * 5))
+         for i in range(4)]          # c1 burst A: 00:00-00:15
+        + [("c1", 10 + i, "x" * 5,
+            base + dt.timedelta(hours=2, minutes=i * 5))
+           for i in range(3)]        # c1 burst B: 02:00-02:10
+        + [("c2", i, "y" * 3, base + dt.timedelta(minutes=7 + i * 10))
+           for i in range(3)]        # c2: 00:07-00:27
+    )
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+    sess = session_stream(stream, gap="30 minutes", watermark="1 hour")
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_r6")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.conv_id, r.session_start): (r.n_turns, r.n_chars)
+            for r in spark.sql("SELECT * FROM sessions_r6").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        ("c1", base): (4, 20),
+        ("c1", base + dt.timedelta(hours=2)): (3, 15),
+        ("c2", base + dt.timedelta(minutes=7)): (3, 9),
+    }
+    # session_end = last event + gap (the session_window contract)
+    rows2 = spark.sql(
+        "SELECT * FROM sessions_r6 WHERE conv_id = 'c1'"
+        " ORDER BY session_start"
+    ).collect()
+    assert rows2[0].session_end == base + dt.timedelta(minutes=45)

@@ -333,3 +333,29 @@ def test_snapshot_compaction_flip_is_atomic_and_preserves_old(
 
     with pytest.raises(ValueError):
         b.expire_snapshot(spark, root, 4)
+
+
+def test_snapshot_reregisters_catalog_entry_from_spec(spark, tmp_path):
+    """The session catalog is ephemeral: after dropping the catalog
+    entry (a fresh session's situation), read_snapshot must rebuild it
+    from the snapshot's own spec file — with the bucket spec intact, so
+    conv-keyed aggregation over the re-registered table still plans
+    with zero Exchange."""
+    from memo_fraktur_ocr_code_spark.sources import bucketed as b
+
+    root = str(tmp_path / "snaps3")
+    b.write_snapshot(spark, _snap_rows(spark, 50, "z"), root, n_buckets=4)
+    name = b._snapshot_table_name(root, 1)
+    before = b.read_snapshot(spark, root).count()
+    spark.sql(f"DROP TABLE {name}")
+    assert not spark.catalog.tableExists(name)
+    got = b.read_snapshot(spark, root)
+    assert got.count() == before == 50
+    plan = (
+        got.groupBy("conv_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -6,13 +6,19 @@ long-lived ingest table needs on a schedule: steady micro-batch appends
 write one file per (writer task × bucket) per batch, scan overhead
 grows with file count, and a periodic compaction folds each bucket back
 to ~one file.  This is Iceberg's ``rewrite_data_files`` role,
-re-expressed for the session-catalog bucket stand-in (the swap-in of
-the compacted table is a reader re-point, not an atomic snapshot flip —
-that capability is exactly what the stand-in documents as
-environment-limited).
+re-expressed for the session-catalog bucket stand-in.  Two modes:
+
+* catalog-table mode — compact src_table into dst_table; the swap-in
+  is a reader re-point (no atomic flip on a bare catalog table).
+* ``--snapshot <root>`` mode (r6) — compact the CURRENT version of a
+  versioned snapshot table (sources/bucketed.write_snapshot) into the
+  next version and flip atomically via the commit marker; the prior
+  version stays readable by number (time travel) until an explicit
+  expire.  This is the full ``rewrite_data_files`` contract.
 
 Usage:
   python jobs/run_maintenance.py --demo <work_dir>
+  python jobs/run_maintenance.py --snapshot <root> [--parallelism N]
   python jobs/run_maintenance.py <src_table> <dst_table> <dst_path>
       [--parallelism N] [--threshold-files-per-bucket K] [--no-verify]
 
@@ -93,6 +99,11 @@ def main(argv: list[str] | None = None) -> dict:
     )
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--demo", metavar="WORK_DIR")
+    ap.add_argument(
+        "--snapshot", metavar="ROOT",
+        help="compact the current version of the snapshot table at"
+        " ROOT into a new version with an atomic flip",
+    )
     args = ap.parse_args(argv)
 
     # NOTE: main() never calls spark.stop() — get_spark is getOrCreate,
@@ -102,6 +113,19 @@ def main(argv: list[str] | None = None) -> dict:
     spark = get_spark(app_name="bucket-maintenance")
     if args.demo:
         return _demo(spark, args.demo)
+    if args.snapshot:
+        from memo_fraktur_ocr_code_spark.sources.bucketed import (
+            compact_snapshot,
+        )
+
+        report = compact_snapshot(
+            spark,
+            args.snapshot,
+            parallelism=args.parallelism,
+            verify=not args.no_verify,
+        )
+        print(json.dumps(report))
+        return report
 
     if not (args.src_table and args.dst_table and args.dst_path):
         ap.error(

@@ -359,3 +359,24 @@ def test_snapshot_reregisters_catalog_entry_from_spec(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_maintenance_job_snapshot_mode(spark, tmp_path):
+    """run_maintenance --snapshot drives compact_snapshot end to end:
+    fragmented v1 compacts into v2 with the atomic marker flip, the
+    report carries the layout before/after + checksum, and v1 remains
+    readable (time travel)."""
+    from jobs.run_maintenance import main as maint_main
+    from memo_fraktur_ocr_code_spark.sources import bucketed as b
+
+    root = str(tmp_path / "snap_maint")
+    b.write_snapshot(
+        spark, _snap_rows(spark, 120, "m").repartition(6), root,
+        n_buckets=4,
+    )
+    report = maint_main(["--snapshot", root, "--parallelism", "1"])
+    assert report["from_version"] == 1 and report["to_version"] == 2
+    assert report["after"]["max_files_per_bucket"] == 1
+    assert "verified" in report
+    assert b.read_snapshot(spark, root, version=1).count() == 120
+    assert b.current_snapshot_version(spark, root) == 2

@@ -73,6 +73,9 @@ HEADLINE = [
     # r5 session 2: exact-substring span dedup (Lee et al. 2022) +
     # product-quantization ADC search (Jégou et al. 2011)
     "dedup_substring",
+    # r6: the excision APPLY step + UniMax budget allocation
+    "remove_dup_spans",
+    "unimax_mixing",
     "pq_adc_topk",
     "ivfpq_topk",
     # r5 session 2: web-graph extraction + SemDeDup + transcript fences

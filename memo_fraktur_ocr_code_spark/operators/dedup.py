@@ -1189,9 +1189,10 @@ def substring_span_stats(
     * ``dup_bp``      — duplicated-token fraction in integer basis
       points, ``(10000 * dup_tokens) div n_tokens``.
 
-    Consumers threshold ``dup_bp`` to drop or trim documents, matching
-    the reference pipeline's discard-filter role (F1) applied to
-    training-data curation.
+    Consumers threshold ``dup_bp`` to drop documents (the reference
+    pipeline's discard-filter role, F1, applied to training-data
+    curation) or hand the corpus to :func:`remove_duplicate_spans`
+    (r6) for the trim itself.
 
     Scale design (100 TB): the paper's suffix array is replaced by the
     Spark-native window-hash sketch — only ``(span_key, id, pos)``

@@ -221,10 +221,10 @@ def compact_bucketed(
     ``verify=True`` compares (row count, order-independent xxhash64
     bit_xor checksum) of source and destination before returning —
     the rewrite refuses to report success on content drift.  The
-    src→dst swap is left to the caller: the parquet stand-in has no
-    atomic snapshot flip (THE Iceberg capability this module
-    documents as environment-limited), so the honest contract is
-    compact-into-new then re-point readers.
+    src→dst swap is left to the caller on a BARE catalog table
+    (compact-into-new then re-point readers); for an actual atomic
+    flip with the old version kept readable, use the versioned
+    snapshot layer below (:func:`compact_snapshot`, r6).
     """
     if before is None:
         before = bucket_file_stats(spark, src_table)

@@ -2880,7 +2880,15 @@ def _q_lm_quantile_buckets(spark, sf_dir):
         bigram_lm_score,
     )
 
-    scored = bigram_lm_score(_t(spark, sf_dir, "documents"))
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _register_cache,
+    )
+
+    # the per-doc score table feeds the histogram collect AND the final
+    # labeling — cache it so the bigram-LM training joins run once (r7)
+    scored = _register_cache(
+        bigram_lm_score(_t(spark, sf_dir, "documents"))
+    )
     cuts = quantile_cuts(scored, "lm_ppm", fracs_bp=[3333, 6667])
     out = assign_quantile_buckets(
         scored, "lm_ppm", cuts, labels=["head", "middle", "tail"]

@@ -801,10 +801,27 @@ def dsir_importance(
     groupBy over the feature stream.  Nothing anywhere scales worse
     than linearly in corpus size, and no state exceeds ``n_buckets``
     rows."""
-    fr = hashed_ngram_features(raw, id_col, text_col, n_buckets, salt)
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _register_cache,
+    )
+
+    # fr feeds two consumers (the raw bucket counts and the per-doc
+    # score join) — uncached, the md5-per-occurrence featurization ran
+    # twice over the corpus (r7).  The cache holds (id, bucket) pairs —
+    # evictable, released by release_operator_caches; at corpus scale
+    # the alternative is simply paying the second scan.
+    fr = _register_cache(
+        hashed_ngram_features(raw, id_col, text_col, n_buckets, salt)
+    )
     ft = hashed_ngram_features(target, id_col, text_col, n_buckets, salt)
-    cr = fr.groupBy("bucket").agg(F.count("*").alias("cr"))
-    ct = ft.groupBy("bucket").agg(F.count("*").alias("ct"))
+    # bucket-count tables are ≤ n_buckets rows but each feeds two
+    # consumers (the score table and its own total) — cache both (r7)
+    cr = _register_cache(
+        fr.groupBy("bucket").agg(F.count("*").alias("cr"))
+    )
+    ct = _register_cache(
+        ft.groupBy("bucket").agg(F.count("*").alias("ct"))
+    )
     nr = cr.agg(
         F.coalesce(F.sum("cr"), F.lit(0)).cast("bigint").alias("nr")
     )

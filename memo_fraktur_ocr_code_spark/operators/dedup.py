@@ -94,28 +94,39 @@ def incremental_dedup(
 
 
 def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows — distinct character n-grams of normalized text.
 
     Implemented via posexplode over a character-index sequence so shingling
-    stays JVM-side; no Python."""
+    stays JVM-side; no Python.
+
+    ``hashed=True`` emits ``xxhash64(shingle)`` (bigint) instead of the
+    n-char string — the join/aggregation key every consumer in this
+    module actually needs (guide §2.3: shuffle 8-byte keys, not string
+    payloads).  Distinctness, document frequencies, set sizes and
+    intersections are identical absent a 64-bit collision — the same
+    hash-is-identity premise ``exact_dedup`` and ``paragraph_dedup``
+    already rest on module-wide — and MinHash signatures built from the
+    hashed table are bit-identical to the string path's, because the
+    string path's first step is this very ``xxhash64``
+    (see :func:`_signatures_from_shingles`)."""
     norm = normalize_text_col(text_col).alias("_norm")
     base = df.select(F.col(id_col).alias("id"), norm).where(
         F.length("_norm") >= n
     )
-    return (
-        base.select(
-            "id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, length(_norm) - {n - 1}),"
-                        f" i -> substring(_norm, i, {n}))"
-                    )
-                )
-            ).alias("shingle"),
-        )
+    arr = F.expr(
+        f"transform(sequence(1, length(_norm) - {n - 1}),"
+        f" i -> substring(_norm, i, {n}))"
+    )
+    if hashed:
+        arr = F.transform(arr, lambda s: F.xxhash64(s))
+    return base.select(
+        "id", F.explode(F.array_distinct(arr)).alias("shingle")
     )
 
 
@@ -156,8 +167,14 @@ def ngram_jaccard_pairs(
     Output is UNSORTED — at corpus scale the pairs table can be
     large, and a global sort is a real job that belongs to the consumer
     (the registered queries add the deterministic orderBy the oracle
-    comparison wants; VERDICT r5)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    comparison wants; VERDICT r5).
+
+    The shingle table is HASH-KEYED (r7, guide §2.3): the self-join,
+    df cap and size counts all run on the 8-byte ``xxhash64`` key, so
+    the inverted-index shuffle carries longs instead of n-char strings;
+    ``inter``/``size`` counts are unchanged absent a 64-bit collision
+    (the module-wide hash-is-identity premise)."""
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
     sh = _register_cache(sh)
@@ -204,18 +221,26 @@ def minhash_signatures(
     over xxhash64 shingle values — all JVM expressions.  ``max_df`` prunes
     hot shingles first (``cap_shingle_df``) so signatures reflect the
     discriminative shingles only."""
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
-    return _signatures_from_shingles(sh, num_hashes)
+    return _signatures_from_shingles(sh, num_hashes, prehashed=True)
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, prehashed: bool = False
+) -> DataFrame:
     """MinHash signatures from a prebuilt (id, shingle) table — shared by
     ``minhash_signatures`` and ``minhash_lsh_pairs(verify='exact')`` so
-    the shingle explode happens once per job, not once per consumer."""
+    the shingle explode happens once per job, not once per consumer.
+
+    ``prehashed=True``: the shingle column already carries
+    ``xxhash64(shingle)`` (``shingle_table(hashed=True)``), so the fold
+    starts from ``pmod`` directly — the resulting ``x`` values, and
+    therefore every signature, are bit-identical to the string path."""
+    x = F.col("shingle") if prehashed else F.xxhash64("shingle")
     sh = sh.select(
-        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MINHASH_PRIME)).alias("x")
+        "id", F.pmod(x, F.lit(_MINHASH_PRIME)).alias("x")
     )
     mins = [
         F.min(
@@ -348,19 +373,37 @@ def incremental_minhash_dedup(
     set per round.
     """
     assert num_hashes % bands == 0
-    sh_b = _register_cache(shingle_table(batch, id_col, text_col, n))
-    sigs_b = _signatures_from_shingles(sh_b, num_hashes)
+    # hash-keyed shingles (r7, guide §2.3): 8-byte join keys, signatures
+    # bit-identical to the string path (see _signatures_from_shingles)
+    sh_b = _register_cache(
+        shingle_table(batch, id_col, text_col, n, hashed=True)
+    )
+    sigs_b = _signatures_from_shingles(sh_b, num_hashes, prehashed=True)
     bands_b = _register_cache(_band_rows(sigs_b, num_hashes, bands))
 
     # --- candidates vs the established corpus: index join, no recompute
-    cand_exist = band_index_candidates(existing_bands, bands_b)
+    # Cached (r7): the candidate table feeds TWO consumers — the
+    # exist-id semi-join pruning the verification scan, and the verify
+    # join itself — and each consumption would otherwise recompute the
+    # whole index join (incl. the index argument's lineage: the r6 plan
+    # evaluated the existing-corpus band index twice, 57 Exchanges).
+    cand_exist = _register_cache(
+        band_index_candidates(existing_bands, bands_b)
+    )
     # exact verification: shingle only the candidate established docs
     cand_ids = cand_exist.select(
         F.col("exist_id").alias(id_col)
     ).distinct()
     ex_docs = existing.join(cand_ids, id_col, "left_semi")
-    sh_e = _register_cache(shingle_table(ex_docs, id_col, text_col, n))
-    sz_b = sh_b.groupBy("id").agg(F.count("*").alias("sz"))
+    sh_e = _register_cache(
+        shingle_table(ex_docs, id_col, text_col, n, hashed=True)
+    )
+    # batch sizes feed three join consumers (dup_exist + both sides of
+    # dom_batch) — cache the tiny (id, sz) table instead of re-running
+    # the aggregation over the cached shingles per consumer (r7)
+    sz_b = _register_cache(
+        sh_b.groupBy("id").agg(F.count("*").alias("sz"))
+    )
     sz_e = sh_e.groupBy("id").agg(F.count("*").alias("sz"))
     inter_e = (
         cand_exist.join(
@@ -519,11 +562,16 @@ def minhash_lsh_pairs(
         " silently drop trailing hash functions from every band and"
         " change the documented recall bound"
     )
-    sh = shingle_table(df, id_col, text_col, n)
+    # hash-keyed shingles (r7, guide §2.3): signatures are bit-identical
+    # (the string path's first step IS this xxhash64) and the verify
+    # join/size counts run on 8-byte keys instead of n-char strings
+    sh = shingle_table(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
         sh = cap_shingle_df(sh, max_df)
     sh = _register_cache(sh)  # one explode feeds signatures AND verify
-    sigs = _register_cache(_signatures_from_shingles(sh, num_hashes))
+    sigs = _register_cache(
+        _signatures_from_shingles(sh, num_hashes, prehashed=True)
+    )
     banded = _band_rows(sigs, num_hashes, bands)
     cand = (
         banded.alias("l")
@@ -811,9 +859,20 @@ def connected_components(
             # inner loop ran ≥1 pair this span (loop entry guarantees
             # rounds < max_iter), so span has ≥2 entries
             prev_ck, nxt_ck = span[-2], span[-1]
+        # ONE cadence job instead of three (r7): both edge sets are
+        # duplicate-free (each round ends in distinct), so set equality
+        # == empty symmetric difference, testable with a single
+        # full-outer join + limit(1) action — deterministic, and the
+        # job doubles as the span's materializing action for both
+        # checkpoints.
         same = (
-            prev_ck.count() == nxt_ck.count()
-            and nxt_ck.join(prev_ck, ["u", "v"], "left_anti")
+            nxt_ck.withColumn("_n", F.lit(1))
+            .join(
+                prev_ck.withColumn("_p", F.lit(1)),
+                ["u", "v"],
+                "full_outer",
+            )
+            .where(F.col("_n").isNull() | F.col("_p").isNull())
             .limit(1)
             .count()
             == 0
@@ -1093,7 +1152,14 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("id"), _as_double_array(vec_col).alias("v")
     )
-    asn = (
+    # Cached (r7): the assignment table feeds FOUR consumers (both sides
+    # of the within-cluster self-join plus the final verdict join) —
+    # uncached, each consumption re-evaluated the whole assignment
+    # INCLUDING the centroid argument's lineage (with a lazily-composed
+    # Lloyd codebook the r6 plan held 256 Exchanges / 182 scans).  This
+    # is SemDeDup's natural materialization point: production runs
+    # persist the cluster assignment before the within-cluster pass.
+    asn = _register_cache(
         cluster_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
         .select(
             F.col(id_col).alias("id"),
@@ -1115,7 +1181,9 @@ def semantic_dedup(
         F.col("c_sim_e6").alias("cb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    close = (
+    # close pairs feed three consumers (participation counts from both
+    # endpoints + the loser set) — cache the pair-sized table (r7)
+    close = _register_cache(
         a.join(b, "list_id")
         .where(F.col("ia") < F.col("ib"))
         .withColumn(

@@ -133,6 +133,10 @@ def pq_train(
     components (exact integer means, empty codes keep their previous
     centroid)."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
     d_sub = dim // m
     v = vectors.select(
         F.col(id_col).alias("id"), _as_double_array(vec_col).alias("vv")
@@ -141,6 +145,13 @@ def pq_train(
     codebook = _subvectors(v.orderBy("id").limit(ks), m, d_sub).select(
         "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
     )
+    # Per-round materialization of the (m × ks)-row codebook (r7): the
+    # same lazy-Lloyd plan explosion kmeans_centroids had — each round's
+    # plan embedded a re-evaluation of all prior rounds, multiplied per
+    # downstream consumer (encode + ADC LUT).  Values unchanged; see
+    # kmeans_centroids for the full rationale.
+    codebook = codebook.localCheckpoint(eager=True)
+    prev_ck = codebook
     for _ in range(iters):
         assigned = _assign_codes(subs, codebook)
         comp = (
@@ -174,9 +185,13 @@ def pq_train(
                 lambda st: st["mv"],
             ).alias("new_cv")
         )
-        codebook = codebook.join(trained, ["sub", "code"], "left").select(
-            "sub", "code", F.coalesce("new_cv", "cv").alias("cv")
+        codebook = (
+            codebook.join(trained, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
         )
+        _release_local_checkpoint(prev_ck)
+        prev_ck = codebook
     return codebook
 
 

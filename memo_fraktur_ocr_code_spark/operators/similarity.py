@@ -339,6 +339,10 @@ def kmeans_centroids(
     previous centroid (deterministic empty-cluster rule).  Init = the
     ``n_lists`` smallest-id vectors (window-free TakeOrdered), whose
     ids double as stable list ids."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _release_local_checkpoint,
+    )
+
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double_array(vec_col).alias("vv"),
@@ -350,6 +354,18 @@ def kmeans_centroids(
             F.col("neighbor_id").alias("list_id"), F.col("vv").alias("cv")
         )
     )
+    # Per-iteration materialization of the (tiny, n_lists-row) codebook
+    # (r7, guide §2.4/§3.3): composed lazily, iteration i's plan embeds
+    # a full re-evaluation of iterations 1..i-1 — and every DOWNSTREAM
+    # consumer (cluster_assign, semantic_dedup, ivf/ivfpq) re-evaluates
+    # the whole chain again per reference, which is how semantic_dedup's
+    # r6 plan reached 256 Exchanges / 182 parquet scans.  An eager
+    # localCheckpoint after each Lloyd round runs each round's corpus
+    # aggregation EXACTLY ONCE and truncates the lineage to an
+    # n_lists-row LogicalRDD; centroid values are unchanged (same jobs,
+    # same deterministic arithmetic — materialization only).
+    cents = cents.localCheckpoint(eager=True)
+    prev_ck = cents
     for _ in range(iters):
         # argmax via map-side-combined aggregation, not a corpus-keyed
         # row_number window (r5 — see _argmax_assign)
@@ -394,7 +410,10 @@ def kmeans_centroids(
                 "list_id",
                 F.coalesce("new_cv", "cv").alias("cv"),
             )
+            .localCheckpoint(eager=True)
         )
+        _release_local_checkpoint(prev_ck)
+        prev_ck = cents
     return cents
 
 

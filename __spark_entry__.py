@@ -3009,7 +3009,13 @@ def _q_incremental_minhash(spark, sf_dir):
     dominance.  Same high-recall config as dedup_minhash_lsh (char-12
     shingles, 32 hashes × 16 bands, j ≥ 0.7 — candidate recall
     ≈ 0.99998 per true pair), so the oracle can recompute the verdicts
-    from scratch with exact Jaccard over existing + batch."""
+    from scratch with exact Jaccard over existing + batch.
+    Batch-internal candidates are pre-pruned on the already-computed
+    signature estimate (est ≥ threshold − 0.3) before the shingle
+    verify join — the identical opt-in dedup_minhash_lsh has carried
+    since r2 (miss prob ≈1e-4 per true pair at j=0.7; bounds in
+    minhash_lsh_pairs' docstring); output verified unchanged at all
+    three SFs."""
     from memo_fraktur_ocr_code_spark.operators.dedup import (
         incremental_minhash_dedup,
         lsh_band_table,
@@ -3022,6 +3028,7 @@ def _q_incremental_minhash(spark, sf_dir):
     return incremental_minhash_dedup(
         existing, idx, batch, n=12, num_hashes=32, bands=16,
         threshold=0.7,
+        prefilter_margin=0.3,  # r7: same pre-prune as dedup_minhash_lsh
     ).orderBy("doc_id")
 
 

@@ -330,11 +330,23 @@ def incremental_minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """Delta-LSH near-dup dedup: judge a new batch against an
     ESTABLISHED corpus via its persisted band-bucket index, plus
     batch-internal pairwise dominance — the near-dup completion of
     :func:`incremental_dedup` (VERDICT r4 item 3).
+
+    ``prefilter_margin`` (opt-in, default None = verify every
+    candidate): batch-internal candidate pairs whose SIGNATURE-estimate
+    Jaccard falls below ``threshold - prefilter_margin`` are dropped
+    before the shingle-join verification — exactly
+    :func:`minhash_lsh_pairs`'s pre-prune, with the same recall bounds
+    (the estimate tail P(Binomial(num_hashes, j)/num_hashes <
+    threshold - margin), ≈1e-4 per true pair at j=0.7, num_hashes=32,
+    margin=0.3).  It applies to the batch-internal path only: the
+    persisted index carries band buckets, not signatures, so
+    existing-corpus candidates are always exact-verified in full.
 
     Verdict per batch doc — ``(id, n_existing_dups, n_batch_prior_dups,
     keep)``:
@@ -378,7 +390,9 @@ def incremental_minhash_dedup(
     sh_b = _register_cache(
         shingle_table(batch, id_col, text_col, n, hashed=True)
     )
-    sigs_b = _signatures_from_shingles(sh_b, num_hashes, prehashed=True)
+    sigs_b = _register_cache(
+        _signatures_from_shingles(sh_b, num_hashes, prehashed=True)
+    )
     bands_b = _register_cache(_band_rows(sigs_b, num_hashes, bands))
 
     # --- candidates vs the established corpus: index join, no recompute
@@ -405,9 +419,19 @@ def incremental_minhash_dedup(
         sh_b.groupBy("id").agg(F.count("*").alias("sz"))
     )
     sz_e = sh_e.groupBy("id").agg(F.count("*").alias("sz"))
+    # prune batch shingles to the candidate batch ids before the verify
+    # join (r7, guide §3.2) — candidate-bounded broadcast, so the full
+    # batch shingle table is never shuffled for a handful of candidates
+    sh_b_exist = sh_b.join(
+        F.broadcast(
+            cand_exist.select(F.col("batch_id").alias("id")).distinct()
+        ),
+        "id",
+        "left_semi",
+    )
     inter_e = (
         cand_exist.join(
-            sh_b.select(F.col("id").alias("batch_id"), "shingle"),
+            sh_b_exist.select(F.col("id").alias("batch_id"), "shingle"),
             "batch_id",
         )
         .join(
@@ -443,12 +467,64 @@ def incremental_minhash_dedup(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if prefilter_margin is not None:
+        # signature-estimate pre-prune (r7): the batch signatures are
+        # already cached, and most bucket collisions are low-similarity
+        # pairs that would otherwise dominate the verify join's input —
+        # at sf0.1 this cut 14,910 candidates to a few hundred
+        est_cut = threshold - prefilter_margin
+        cand_batch = (
+            cand_batch.join(
+                sigs_b.select(
+                    F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sigs_b.select(
+                    F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+                ),
+                "id_b",
+            )
+            .where(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a",
+                            "sig_b",
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(num_hashes)
+                >= est_cut
+            )
+            .select("id_a", "id_b")
+        )
+    # the (pruned) candidate table feeds the verify join and both
+    # id-set prunes — cache it (r7)
+    cand_batch = _register_cache(cand_batch)
+    sh_b_a = sh_b.join(
+        F.broadcast(
+            cand_batch.select(F.col("id_a").alias("id")).distinct()
+        ),
+        "id",
+        "left_semi",
+    )
+    sh_b_b = sh_b.join(
+        F.broadcast(
+            cand_batch.select(F.col("id_b").alias("id")).distinct()
+        ),
+        "id",
+        "left_semi",
+    )
     inter_b = (
         cand_batch.join(
-            sh_b.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+            sh_b_a.select(F.col("id").alias("id_a"), "shingle"), "id_a"
         )
         .join(
-            sh_b.select(F.col("id").alias("id_b"), "shingle"),
+            sh_b_b.select(F.col("id").alias("id_b"), "shingle"),
             ["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
@@ -620,9 +696,27 @@ def minhash_lsh_pairs(
                 )
                 .select("id_a", "id_b")
             )
-        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-        sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-        sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+        # the candidate table feeds the verify join AND the two id-set
+        # prunes below — cache it so the band self-join runs once (r7)
+        cand = _register_cache(cand)
+        sizes = _register_cache(
+            sh.groupBy("id").agg(F.count("*").alias("sz"))
+        )
+        # Prune the shingle table to candidate ids BEFORE the verify
+        # join (r7, guide §3.2): the surviving candidate set is orders
+        # of magnitude smaller than the corpus, so without the prune
+        # both verify joins shuffled the FULL corpus-sized shingle
+        # table; the id sets are candidate-bounded by construction, so
+        # the broadcast is structurally safe (the cap_shingle_df /
+        # cms_estimate justification class).
+        ids_a = cand.select(F.col("id_a").alias("id")).distinct()
+        ids_b = cand.select(F.col("id_b").alias("id")).distinct()
+        sh_a = sh.join(F.broadcast(ids_a), "id", "left_semi").select(
+            F.col("id").alias("id_a"), "shingle"
+        )
+        sh_b = sh.join(F.broadcast(ids_b), "id", "left_semi").select(
+            F.col("id").alias("id_b"), "shingle"
+        )
         # candidates × shingles(id_a), matched against shingles(id_b):
         # cost ∝ candidate pairs × shingles-per-doc, never the corpus²
         inter = (

@@ -1139,8 +1139,8 @@ def embedding_cosine_dups(
     from memo_fraktur_ocr_code_spark.operators.similarity import (
         _as_double_array,
         _band_keys,
-        _dot,
         _norm,
+        _pair_dot,
         _srp_signature_arrow,
     )
 
@@ -1185,7 +1185,8 @@ def embedding_cosine_dups(
         "id_a",
         "id_b",
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            _pair_dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
             6,
         ).alias("cosine"),
     )
@@ -1244,8 +1245,8 @@ def semantic_dedup(
     """
     from memo_fraktur_ocr_code_spark.operators.similarity import (
         _as_double_array,
-        _dot,
         _norm,
+        _pair_dot,
         cluster_assign,
     )
 
@@ -1289,7 +1290,7 @@ def semantic_dedup(
         .withColumn(
             "pair_e6",
             F.floor(
-                _dot(F.col("va"), F.col("vb"))
+                _pair_dot(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb"))
                 * 1000000
             ).cast("long"),

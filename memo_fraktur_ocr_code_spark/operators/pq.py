@@ -45,6 +45,8 @@ extends the training-data-pipeline surface mandated by the graft brief
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,12 +84,93 @@ def _subvectors(v: DataFrame, m: int, d_sub: int) -> DataFrame:
     ).select("id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
 
 
+def _assign_codes_kernel(cb_rows):
+    """Arrow-vectorized nearest-code scorer — the bit-for-bit twin of
+    the Catalyst ``max(struct(-dist, -code))`` argmin over a broadcast
+    codebook (:func:`_assign_codes_catalyst`), built exactly like
+    ``similarity._argmax_assign_kernel``:
+
+    * squared-L2 runs ``acc = acc + (x - y) * (x - y)`` ascending-d —
+      the :func:`_l2sq` fold's op sequence, vectorized across rows;
+    * argmin scans codes in ascending order and takes the FIRST
+      minimum (``dist ASC, code ASC``); NaN distance is treated as
+      smaller than everything (``-NaN`` wins the struct max);
+    * a NULL subvector row assigns the smallest code (every ``nd``
+      NULL → the struct max falls through to ``-code``).
+
+    ``cb_rows`` is the collected ``m × ks``-row codebook — a bounded
+    driver action.  Equality with the Catalyst twin is test-pinned."""
+    from pyspark.sql.functions import pandas_udf
+
+    per_sub = {}
+    for s in sorted({int(r["sub"]) for r in cb_rows}):
+        rows = sorted(
+            (r for r in cb_rows if int(r["sub"]) == s),
+            key=lambda r: int(r["code"]),
+        )
+        per_sub[s] = (
+            np.array([int(r["code"]) for r in rows], dtype=np.int64),
+            np.array([list(r["cv"]) for r in rows], dtype=np.float64),
+        )
+
+    @pandas_udf("bigint")
+    def code_of(sub: pd.Series, sv: pd.Series) -> pd.Series:
+        n = len(sub)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        subs_np = sub.to_numpy()
+        raw = sv.to_numpy()
+        out = np.zeros(n, dtype=np.int64)
+        for s, (codes, C) in per_sub.items():
+            m = subs_np == s
+            if not m.any():
+                continue
+            out[m] = codes[0]  # NULL rows fall through to smallest code
+            ok = m & np.array([v is not None for v in raw])
+            if not ok.any():
+                continue
+            M = np.stack(raw[ok]).astype(np.float64)
+            acc = np.zeros((M.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(M.shape[1]):
+                diff = M[:, d : d + 1] - C[:, d]
+                acc = acc + diff * diff
+            key = np.where(np.isnan(acc), -np.inf, acc)
+            idx = np.argmin(key, axis=1)  # first min → smallest code
+            out[ok] = codes[idx]
+        return pd.Series(out)
+
+    return code_of
+
+
 def _assign_codes(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (id, sub) through the Arrow kernel
+    (r7, guide §4.2): the ``m × ks`` codebook is collected (bounded)
+    and the argmin becomes a ZERO-SHUFFLE Arrow projection — replacing
+    the broadcast join + struct-max aggregation, whose interpreted
+    per-(subvector, centroid) L2 folds dominated training and encoding.
+    Codes and tie-breaks are bit-identical to
+    :func:`_assign_codes_catalyst` (test-pinned)."""
+    kernel = _assign_codes_kernel(
+        codebook.select("sub", "code", "cv").collect()
+    )
+    return subs.select(
+        "id",
+        "sub",
+        kernel(F.col("sub"), F.col("sv")).alias("code"),
+        "sv",
+    )
+
+
+def _assign_codes_catalyst(
+    subs: DataFrame, codebook: DataFrame
+) -> DataFrame:
     """Nearest-centroid code per (id, sub): broadcast the ``m × ks``
     codebook, score every (subvector, centroid) pair, and fold the
     argmin with ONE map-side-combined ``max(struct)`` aggregation —
     the partial aggregation finishes the argmin before the exchange,
     so exactly one reduced row per (vector, subspace) shuffles.
+    The engine-portable SPEC for :func:`_assign_codes`' Arrow kernel
+    (and the shape the DuckDB oracle mirrors).
 
     Tie-break: lowest distance, then lowest code (``max`` of
     ``(-dist, -code)``) — mirrored by the oracle's

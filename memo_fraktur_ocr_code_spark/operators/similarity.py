@@ -16,6 +16,8 @@ no RNG state, identical across executors and runs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -41,6 +43,58 @@ def _norm(a) -> F.Column:
     )
 
 
+def _pair_dot_arrow():
+    """Arrow-vectorized twin of :func:`_dot` for PAIR tables (two array
+    columns per row) — bit-for-bit equal to the Catalyst fold.
+
+    The fold is ``acc = acc + a[d] * b[d]`` in ascending ``d`` starting
+    from 0.0; the twin performs the IDENTICAL float64 op sequence per
+    row, vectorized ACROSS rows with numpy (one multiply, one add per
+    step — the ``_srp_signature_arrow`` recipe, r4).  The Catalyst fold
+    was the dominant per-row cost of every pair-scoring plan (candidate
+    re-rank, SemDeDup close pairs, decontamination verify): ~0.03 ms/
+    pair at dim=64 adds up to seconds at 10^5 candidate pairs, where
+    the batched numpy loop is ~100× cheaper.
+
+    A NULL array on either side returns NULL (the fold's result);
+    rows are assumed dimension-uniform (the module-wide embedding
+    contract — the oracle indexes 1..dim).  Element-level NULLs are
+    outside the tested envelope, as with ``_srp_signature_arrow``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pdot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ra, rb = a.to_numpy(), b.to_numpy()
+        ok = np.array(
+            [x is not None and y is not None for x, y in zip(ra, rb)]
+        )
+        out = np.full(len(ra), np.nan)
+        if ok.any():
+            ma = np.stack(ra[ok]).astype(np.float64)
+            mb = np.stack(rb[ok]).astype(np.float64)
+            acc = np.zeros(ma.shape[0], dtype=np.float64)
+            for d in range(ma.shape[1]):
+                acc = acc + ma[:, d] * mb[:, d]
+            out[ok] = acc
+        return pd.Series(out)
+
+    return pdot
+
+
+#: module-level singleton — one UDF registration per process
+_PAIR_DOT = None
+
+
+def _pair_dot(a, b) -> F.Column:
+    """``_dot`` for pair tables, routed through the Arrow twin."""
+    global _PAIR_DOT
+    if _PAIR_DOT is None:
+        _PAIR_DOT = _pair_dot_arrow()
+    return _PAIR_DOT(a, b)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -55,20 +109,25 @@ def cosine_topk(
     — a broadcast nested-loop that Catalyst pipelines without a shuffle.
     Scores are quantized to ``quantize_dp`` decimals before ranking with a
     deterministic (score desc, id asc) tie-break."""
+    # norms are per-row folds computed BEFORE the pair expansion and the
+    # dot runs through the Arrow pair kernel (r7, guide §4.2) — the same
+    # fold sequences as the inline expressions, so scores are
+    # bit-identical; the per-pair work drops from three interpreted
+    # dim-wide folds to one numpy-batched dot
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double_array(vec_col).alias("qv"),
-    )
+    ).withColumn("nq", _norm(F.col("qv")))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double_array(vec_col).alias("vv"),
-    )
+    ).withColumn("nv", _norm(F.col("vv")))
     scored = v.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("vv"))
-            / (_norm(F.col("qv")) * _norm(F.col("vv"))),
+            _pair_dot(F.col("qv"), F.col("vv"))
+            / (F.col("nq") * F.col("nv")),
             quantize_dp,
         ).alias("score"),
     )
@@ -289,7 +348,8 @@ def srp_lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("vv")) / (F.col("nq") * F.col("nv")),
+            _pair_dot(F.col("qv"), F.col("vv"))
+            / (F.col("nq") * F.col("nv")),
             6,
         ).alias("score"),
     )
@@ -417,7 +477,96 @@ def kmeans_centroids(
     return cents
 
 
+def _argmax_assign_kernel(cents_rows):
+    """Arrow-vectorized nearest-centroid scorer — the bit-for-bit twin
+    of the Catalyst ``max(struct(c_sim, -list_id))`` argmax over a
+    broadcast codebook (see :func:`_argmax_assign_catalyst`).
+
+    ``cents_rows``: the collected ``(list_id, cv)`` codebook — a
+    BOUNDED driver action by the broadcast-argmax premise (n_lists
+    rows; the same class as the BPE per-round argmax collect).
+
+    Parity construction (the ``_srp_signature_arrow`` recipe):
+
+    * per-centroid norms are folded driver-side in ascending component
+      order with plain Python floats — the identical op sequence as
+      ``_norm``;
+    * per-row dots/norms run ``acc = acc + x * y`` ascending-d,
+      vectorized across rows (one multiply, one add per step);
+    * ``c_sim = dot / (norm_v * norm_c)`` — denominator multiplied
+      first, then one division, exactly as the Catalyst expression;
+    * argmax scans centroids in ascending ``list_id`` order and takes
+      the FIRST maximum — the ``(c_sim DESC, list_id ASC)`` tie-break;
+      NaN c_sim (zero-norm vector) is treated as greater than
+      everything, matching Spark's struct-max ordering;
+    * a NULL vector row assigns to the smallest ``list_id`` with NULL
+      ``c_sim`` (every c_sim NULL → the struct max falls through to
+      the ``-list_id`` field), matching the Catalyst path.
+
+    Equality with the Catalyst twin is pinned by
+    tests/test_operators.py over fixture embeddings."""
+    from pyspark.sql.functions import pandas_udf
+
+    lids = sorted(int(r["list_id"]) for r in cents_rows)
+    by_lid = {int(r["list_id"]): list(r["cv"]) for r in cents_rows}
+    cvs = [by_lid[lid] for lid in lids]
+    ncs = []
+    for cv in cvs:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        ncs.append(math.sqrt(acc))
+    C = np.array(cvs, dtype=np.float64)  # k × dim, ascending list_id
+    NC = np.array(ncs, dtype=np.float64)
+    LID = np.array(lids, dtype=np.int64)
+
+    @pandas_udf("struct<list_id:bigint,c_sim:double>")
+    def assign(vec: pd.Series) -> pd.DataFrame:
+        n = len(vec)
+        if n == 0:
+            return pd.DataFrame(
+                {"list_id": pd.array([], dtype="int64"), "c_sim": []}
+            )
+        raw = vec.to_numpy()
+        ok = np.array([v is not None for v in raw])
+        out_lid = np.full(n, LID[0], dtype=np.int64)
+        out_sim = np.full(n, np.nan)
+        if ok.any():
+            M = np.stack(raw[ok]).astype(np.float64)
+            nv = np.zeros(M.shape[0], dtype=np.float64)
+            for d in range(M.shape[1]):
+                nv = nv + M[:, d] * M[:, d]
+            nv = np.sqrt(nv)
+            acc = np.zeros((M.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(M.shape[1]):
+                acc = acc + M[:, d : d + 1] * C[:, d]
+            sim = acc / (nv[:, None] * NC[None, :])
+            key = np.where(np.isnan(sim), np.inf, sim)
+            idx = np.argmax(key, axis=1)  # first max → smallest list_id
+            out_lid[ok] = LID[idx]
+            out_sim[ok] = sim[np.arange(M.shape[0]), idx]
+        return pd.DataFrame({"list_id": out_lid, "c_sim": out_sim})
+
+    return assign
+
+
 def _argmax_assign(
+    points: DataFrame, cents: DataFrame, id_name: str
+) -> DataFrame:
+    """Nearest-centroid assignment ``(id, vv, list_id)`` through the
+    Arrow kernel: the codebook is collected (bounded, n_lists rows) and
+    the argmax becomes a ZERO-SHUFFLE Arrow projection — replacing the
+    broadcast cross join + struct-max aggregation, whose interpreted
+    per-(point, centroid) cosine folds were the dominant per-row cost
+    of every Lloyd round (r7, guide §4.2).  Values and tie-breaks are
+    bit-identical to :func:`_argmax_assign_catalyst` (test-pinned)."""
+    assign = _argmax_assign_kernel(cents.select("list_id", "cv").collect())
+    return points.select(
+        F.col(id_name), "vv", assign(F.col("vv"))["list_id"].alias("list_id")
+    )
+
+
+def _argmax_assign_catalyst(
     points: DataFrame, cents: DataFrame, id_name: str
 ) -> DataFrame:
     """Nearest-centroid assignment ``(id, vv, list_id)`` as ONE
@@ -485,30 +634,19 @@ def cluster_assign(
         F.col(id_col).alias("_cid"),
         _as_double_array(vec_col).alias("vv"),
     )
-    best = (
-        v.crossJoin(F.broadcast(centroids.select("list_id", "cv")))
-        .select(
-            "_cid",
-            "list_id",
-            (
-                _dot(F.col("vv"), F.col("cv"))
-                / (_norm(F.col("vv")) * _norm(F.col("cv")))
-            ).alias("c_sim"),
-        )
-        .groupBy("_cid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("c_sim"),
-                    (-F.col("list_id")).alias("_neg_list"),
-                )
-            ).alias("_best")
-        )
+    # Arrow-kernel argmax (r7, guide §4.2): the codebook collect is
+    # bounded (n_lists rows) and the assignment becomes a zero-shuffle
+    # Arrow projection — bit-identical values and tie-breaks to the
+    # broadcast cross join + struct-max aggregation it replaces
+    # (test-pinned against _argmax_assign_catalyst).
+    assign = _argmax_assign_kernel(
+        centroids.select("list_id", "cv").collect()
     )
+    best = v.withColumn("_a", assign(F.col("vv")))
     return best.select(
         F.col("_cid").alias(id_col),
-        (-F.col("_best._neg_list")).alias("list_id"),
-        F.col("_best.c_sim").alias("c_sim"),
+        F.col("_a.list_id").alias("list_id"),
+        F.col("_a.c_sim").alias("c_sim"),
     )
 
 
@@ -556,13 +694,14 @@ def ivf_topk(
     def _sim(a, b):
         return _dot(a, b) / (_norm(a) * _norm(b))
 
-    # corpus → nearest centroid: map-side-combined aggregation argmax,
-    # not a corpus-keyed row_number window (r5 — see _argmax_assign).
-    # The QUERY probes below keep their window: queries are the small
-    # broadcast side and n_probe > 1 needs a real top-n rank.
+    # corpus → nearest centroid: the Arrow argmax kernel (zero-shuffle
+    # projection, r7 — see _argmax_assign).  The QUERY probes below keep
+    # their window: queries are the small broadcast side and n_probe > 1
+    # needs a real top-n rank.  Corpus norms are folded per row BEFORE
+    # the candidate join so the re-rank pays one Arrow dot per pair.
     assigned = _argmax_assign(v, cents, "neighbor_id").select(
         "neighbor_id", "vv", "list_id"
-    )
+    ).withColumn("nv", _norm(F.col("vv")))
     # queries → n_probe nearest centroids
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -648,7 +787,9 @@ def decontaminate_embeddings(
         _as_double_array(vec_col).alias("bv"),
     ).withColumn("nb", _norm(F.col("bv")))
     score = F.round(
-        _dot(F.col("cv"), F.col("bv")) / (F.col("nc") * F.col("nb")), 6
+        _pair_dot(F.col("cv"), F.col("bv"))
+        / (F.col("nc") * F.col("nb")),
+        6,
     )
     tau = F.lit(int(tau_e6)) / F.lit(1000000.0)
     if method == "brute":

@@ -642,6 +642,158 @@ def test_srp_signature_arrow_equals_catalyst_fold(spark):
         assert both.where(F.col("c") != F.col("a")).count() == 0
 
 
+def test_argmax_assign_arrow_equals_catalyst(spark):
+    """The r7 Arrow argmax kernel must reproduce the Catalyst
+    ``max(struct(c_sim, -list_id))`` path BIT FOR BIT — assignments AND
+    c_sim values — on real fixture embeddings and on degenerate rows
+    (NULL vector → smallest list_id with NULL c_sim; zero-norm vector →
+    NaN c_sim wins the max; NaN component propagates)."""
+    import os
+
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _argmax_assign_catalyst,
+        _argmax_assign_kernel,
+        _as_double_array,
+    )
+
+    def both_ways(vecs, cents):
+        cat = {
+            r["id"]: r["list_id"]
+            for r in _argmax_assign_catalyst(
+                vecs.select(
+                    F.col("vec_id").alias("id"),
+                    _as_double_array("embedding").alias("vv"),
+                ),
+                cents,
+                "id",
+            ).collect()
+        }
+        kern = _argmax_assign_kernel(
+            cents.select("list_id", "cv").collect()
+        )
+        arr = {
+            r["id"]: (r["a"]["list_id"], r["a"]["c_sim"])
+            for r in vecs.select(
+                F.col("vec_id").alias("id"),
+                kern(_as_double_array("embedding")).alias("a"),
+            ).collect()
+        }
+        return cat, arr
+
+    emb = _embs(spark)
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("list_id"),
+        _as_double_array("embedding").alias("cv"),
+    )
+    cat, arr = both_ways(emb, cents)
+    assert {k: v[0] for k, v in arr.items()} == cat
+    # degenerate rows: NULL vector and NaN component.  (A zero-norm
+    # vector is NOT comparable: under Spark 4 ANSI the Catalyst twin
+    # raises DIVIDE_BY_ZERO on the 0.0 divisor, while the kernel
+    # yields NaN — the kernel strictly extends the domain.)
+    degen = spark.createDataFrame(
+        [
+            (100, None),
+            (102, [float("nan")] + [0.0] * 7),
+            (103, [1.0] + [0.0] * 7),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cat, arr = both_ways(degen, cents)
+    assert {k: v[0] for k, v in arr.items()} == cat
+    # NULL vector carries NULL c_sim through the kernel too
+    assert arr[100][1] is None
+    sf = "/root/testdata/sf0.001"
+    if os.path.isdir(sf):
+        full = spark.read.parquet(f"{sf}/embeddings.parquet")
+        cents64 = full.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("list_id"),
+            _as_double_array("embedding").alias("cv"),
+        )
+        cat, arr = both_ways(full, cents64)
+        assert {k: v[0] for k, v in arr.items()} == cat
+
+
+def test_pair_dot_arrow_equals_catalyst_fold(spark):
+    """The r7 Arrow pair-dot must equal the Catalyst ``_dot`` fold BIT
+    FOR BIT on every fixture pair (the oracle mirrors the fold); a NULL
+    side returns NULL like the fold."""
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _as_double_array,
+        _dot,
+        _pair_dot,
+    )
+
+    emb = _embs(spark).select(
+        "vec_id", _as_double_array("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b)
+    bad = pairs.select(
+        _dot(F.col("va"), F.col("vb")).alias("c"),
+        _pair_dot(F.col("va"), F.col("vb")).alias("p"),
+    ).where(~F.col("c").eqNullSafe(F.col("p")))
+    assert bad.count() == 0
+    degen = spark.createDataFrame(
+        [(None, [1.0, 2.0]), ([1.0, 2.0], None), ([1.5, -2.0], [2.0, 4.0])],
+        "va array<double>, vb array<double>",
+    )
+    rows = degen.select(
+        _dot(F.col("va"), F.col("vb")).alias("c"),
+        _pair_dot(F.col("va"), F.col("vb")).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r.c == r.p or (r.c is None and r.p is None)
+
+
+def test_assign_codes_arrow_equals_catalyst(spark):
+    """The r7 Arrow PQ argmin kernel must reproduce the Catalyst
+    ``max(struct(-dist, -code))`` assignment exactly on fixture
+    subvectors, including the smallest-code tie-break and NULL
+    subvector fall-through."""
+    from memo_fraktur_ocr_code_spark.operators.pq import (
+        _assign_codes,
+        _assign_codes_catalyst,
+        _subvectors,
+    )
+    from memo_fraktur_ocr_code_spark.operators.similarity import (
+        _as_double_array,
+    )
+
+    v = _embs(spark).select(
+        F.col("vec_id").alias("id"),
+        _as_double_array("embedding").alias("vv"),
+    )
+    subs = _subvectors(v, 4, 2)
+    cb = _subvectors(v.orderBy("id").limit(3), 4, 2).select(
+        "sub", F.col("id").alias("code"), F.col("sv").alias("cv")
+    ).localCheckpoint(eager=True)
+    cat = {
+        (r["id"], r["sub"]): r["code"]
+        for r in _assign_codes_catalyst(subs, cb).collect()
+    }
+    arr = {
+        (r["id"], r["sub"]): r["code"]
+        for r in _assign_codes(subs, cb).collect()
+    }
+    assert arr == cat
+    # NULL subvector → smallest code (the struct max falls to -code)
+    nulls = spark.createDataFrame(
+        [(99, 0, None), (99, 1, None)],
+        "id bigint, sub int, sv array<double>",
+    )
+    got = {
+        (r["id"], r["sub"]): r["code"]
+        for r in _assign_codes(nulls, cb).collect()
+    }
+    want = {
+        (r["id"], r["sub"]): r["code"]
+        for r in _assign_codes_catalyst(nulls, cb).collect()
+    }
+    assert got == want
+
+
 def test_srp_hamming_prune_preserves_output(spark):
     """r4 claw-back: the full-signature hamming pre-prune must (a) be a
     provable no-op at threshold >= bits - band_bits (a band match

@@ -5832,12 +5832,17 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     collisions are live at this vocabulary), then the 30 most frequent
     tokens estimated back OUT of the sketch next to their true counts —
     the one-sided (never-undercount) guarantee is visible per row."""
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _register_cache,
+    )
     from memo_fraktur_ocr_code_spark.operators.sketches import (
         cms_build,
         cms_estimate,
     )
 
-    toks = _doc_tokens(spark, sf_dir)
+    # the token stream feeds the sketch build AND the exact counts —
+    # cache it so tokenization + explode runs once (r7)
+    toks = _register_cache(_doc_tokens(spark, sf_dir))
     sketch = cms_build(toks, "token", depth=4, width=64)
     true = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
     top = true.orderBy(F.desc("true_cnt"), "token").limit(30)

@@ -1390,7 +1390,9 @@ def substring_span_stats(
     )
     # 1-based window start positions; sequence() guarded (it DESCENDS on
     # an empty range) by the n_tokens >= k filter.
-    sp = (
+    # cached (r7): the span table feeds the duplicated-key reduction AND
+    # the repeat join — uncached, the window explode + hash ran twice
+    sp = _register_cache(
         base.where(F.col("n_tokens") >= k)
         .select(
             "id",
@@ -1522,7 +1524,9 @@ def remove_duplicate_spans(
         .alias("n_tokens"),
         raw.alias("_rawtoks"),
     )
-    sp = (
+    # cached (r7): feeds the duplicated-key reduction AND the repeat
+    # join, same as substring_span_stats
+    sp = _register_cache(
         base.where(F.col("n_tokens") >= k)
         .select(
             "id",

@@ -241,6 +241,10 @@ def bigram_lm_score(
     engine — a NULL here turns the pandas column float on both sides of
     the oracle compare).
     """
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _register_cache,
+    )
+
     toks = _ws_tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("ts"))
     pairs = base.where(F.size("ts") >= 2).select(
@@ -252,6 +256,13 @@ def bigram_lm_score(
             )
         ).alias("p"),
     ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # The pair stream feeds the corpus bigram counts AND the scoring
+    # join — cache the occurrence rows so the explode runs once (r7).
+    # (A distinct-(id, pair) pre-aggregation was tried and measured 5×
+    # SLOWER: it introduces a high-cardinality string-keyed shuffle
+    # where the original occurrence joins are map-side under AQE's
+    # broadcast of the count tables.)
+    pairs = _register_cache(pairs)
     unigrams = (
         base.select(F.explode("ts").alias("w1"))
         .groupBy("w1")
@@ -462,12 +473,19 @@ def stupid_backoff_score(
             )
         ).alias("p"),
     ).select("id", "p.w1", "p.w2", "p.w3")
-    t_uni = (
+    from memo_fraktur_ocr_code_spark.operators.dedup import (
+        _register_cache,
+    )
+
+    # unigram counts feed two join legs AND the token total; bigram
+    # counts feed two join legs — cache both vocabulary-sized tables
+    # so each training aggregation runs once (r7)
+    t_uni = _register_cache(
         tbase.select(F.explode("ts").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
-    t_bi = (
+    t_bi = _register_cache(
         tbase.where(F.size("ts") >= 2)
         .select(
             F.explode(
@@ -495,8 +513,11 @@ def stupid_backoff_score(
         .groupBy("a", "b", "c")
         .agg(F.count("*").alias("ct"))
     )
-    n_tok = tbase.select(F.explode("ts").alias("w")).agg(
-        F.coalesce(F.count("*"), F.lit(0)).cast("bigint").alias("n_tok")
+    # total training tokens = the unigram counts summed — one aggregate
+    # over the (cached) vocabulary table instead of a fourth full
+    # explode of the training corpus (r7)
+    n_tok = t_uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).cast("bigint").alias("n_tok")
     )
     j = (
         pos.join(

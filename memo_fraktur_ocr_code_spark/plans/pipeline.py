@@ -452,7 +452,8 @@ def _correct_pipeline_partition(
         d = d.select("conv_id", "turn_idx", "text", "side")
 
     def process(
-        pdf: pd.DataFrame, index, mf, memo: dict, bgc=None
+        pdf: pd.DataFrame, index, mf, memo: dict, bgc=None,
+        easy_memo: dict | None = None, alt_memo: dict | None = None,
     ) -> pd.DataFrame:
         conv_out, turn_out, text_out = [], [], []
         convs = pdf["conv_id"].to_numpy()
@@ -480,7 +481,20 @@ def _correct_pipeline_partition(
                 continue
             texts = assemble_turns(base_tx)
             if do_easy:
-                texts = [correct_easy(t) for t in texts]
+                # per-partition memo of the pure per-turn regex chain
+                # (r7): replicated corpora repeat turn texts within a
+                # partition, and the memo is the same deterministic
+                # pure-function cache as the token-suggestion memo below
+                if easy_memo is None:
+                    texts = [correct_easy(t) for t in texts]
+                else:
+                    out = []
+                    for t in texts:
+                        v = easy_memo.get(t)
+                        if v is None:
+                            v = easy_memo[t] = correct_easy(t)
+                        out.append(v)
+                    texts = out
             if use_alt:
                 alts = assemble_turns(
                     [
@@ -490,10 +504,27 @@ def _correct_pipeline_partition(
                         for ti in base_ti
                     ]
                 )
-                texts = [
-                    alt_ocr_correct(t, a, mf) if t else t
-                    for t, a in zip(texts, alts)
-                ]
+                if alt_memo is None:
+                    texts = [
+                        alt_ocr_correct(t, a, mf) if t else t
+                        for t, a in zip(texts, alts)
+                    ]
+                else:
+                    # keyed on the exact (text, alt) argument pair — a
+                    # pure per-turn function, so the cache cannot
+                    # change bytes, only skip recomputation
+                    out = []
+                    for t, a in zip(texts, alts):
+                        if not t:
+                            out.append(t)
+                            continue
+                        v = alt_memo.get((t, a))
+                        if v is None:
+                            v = alt_memo[(t, a)] = alt_ocr_correct(
+                                t, a, mf
+                            )
+                        out.append(v)
+                    texts = out
             if do_sym:
                 if augment is not None:
                     # conv-scoped overlay + memo: suggestions depend on
@@ -526,13 +557,18 @@ def _correct_pipeline_partition(
         )
 
     def kernel(batches):
-        # broadcast deref + memo once per partition, not per Arrow batch:
-        # the memo is a pure token→suggestion cache (deterministic), so
-        # partition scope only raises its hit rate
+        # broadcast deref + memos once per partition, not per Arrow
+        # batch: every memo is a pure-function cache (deterministic), so
+        # partition scope only raises its hit rate.  r7 adds turn-level
+        # memos for the easy regex chain and the (text, alt) alignment —
+        # replicated/duplicated corpora repeat whole turns within a
+        # partition, and the alignment is the kernel's dominant term.
         index = bc_index.value if do_sym else None
         mf = bc_guard.value if use_alt else None
         bgc = bc_bigrams.value if bc_bigrams is not None else None
         memo: dict = {}
+        easy_memo: dict = {}
+        alt_memo: dict = {}
         carry: pd.DataFrame | None = None
         for pdf in batches:
             if carry is not None and len(carry):
@@ -545,8 +581,12 @@ def _correct_pipeline_partition(
             done = pdf.iloc[:boundary]
             carry = pdf.iloc[boundary:]
             if len(done):
-                yield process(done, index, mf, memo, bgc)
+                yield process(
+                    done, index, mf, memo, bgc, easy_memo, alt_memo
+                )
         if carry is not None and len(carry):
-            yield process(carry, index, mf, memo, bgc)
+            yield process(
+                carry, index, mf, memo, bgc, easy_memo, alt_memo
+            )
 
     return d.mapInPandas(kernel, schema=_OUT_SCHEMA)

@@ -832,12 +832,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
     )
+    # NO trailing distinct (r7): the only consumer is _small_star,
+    # whose min-aggregation is duplicate-immune and whose round-final
+    # distinct restores set semantics — the dedup exchange here bought
+    # nothing but a shuffle per round (guide §2.4).  Duplicate (v, m)
+    # rows between the stars are bounded by the emitting side's degree.
     return (
         sym.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -845,12 +849,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge large→small, then every
     node connects its smaller neighbors (and itself) to the minimum of
     that set.  Emits ``(v, m)`` for v ∈ Γ<(u) ∪ {u} \\ {m}."""
+    # orientation WITHOUT a dedup exchange (r7): the min-aggregation
+    # below is duplicate-immune and the round ends in a distinct, so
+    # orienting duplicates forward costs bytes, not correctness
     oriented = (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # all v < u
     spokes = (

@@ -91,13 +91,19 @@ def decontaminate(
     when it measures small and falls back to a shuffle join on the gram
     key when it doesn't — the no-assumptions plan at both scales
     (tests pin the AQE choice for a small and an oversized bench)."""
+    # the overlap test needs only gram IDENTITY, so both sides join on
+    # xxhash64(gram) — 8-byte keys instead of ~100-char 13-gram strings
+    # through the broadcast/shuffle and the hash probes (r7, guide
+    # §2.3; hit counts unchanged absent a 64-bit collision — the
+    # dedup-module hash-is-identity premise)
     bench_grams = (
         word_ngram_table(bench, id_col, text_col, n)
-        .select("gram")
+        .select(F.xxhash64("gram").alias("gram"))
         .distinct()
     )
     hits = (
         word_ngram_table(train, id_col, text_col, n)
+        .select("id", F.xxhash64("gram").alias("gram"))
         .join(bench_grams, "gram")
         .groupBy("id")
         .agg(F.count("*").alias("n_hits"))

@@ -1182,7 +1182,22 @@ def unimax_budgets(
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
         .collect()
     )
-    rows = sorted(per, key=lambda r: (r["n_tokens"], r["domain"] or ""))
+    # TOTAL-order visit key (ADVICE r6): `domain or ''` alone maps a
+    # NULL domain and an empty-string domain to the same key, so an
+    # equal-n_tokens tie between them ordered nondeterministically
+    # (collect order is partition-dependent).  NULL sorts before ''
+    # explicitly; the oracle's ORDER BY coalesce(domain, '') leaves
+    # that corner tie engine-arbitrary, but no fixture carries NULL
+    # and '' domains at equal token counts — Spark is now at least
+    # deterministic across partitionings.
+    rows = sorted(
+        per,
+        key=lambda r: (
+            r["n_tokens"],
+            r["domain"] is not None,
+            r["domain"] or "",
+        ),
+    )
     remaining = int(budget_tokens)
     out = []
     for i, r in enumerate(rows):

@@ -339,6 +339,7 @@ def write_snapshot(
     n_buckets: int = 64,
     bucket_cols: tuple[str, ...] = ("conv_id",),
     sort_cols: tuple[str, ...] = DEFAULT_SORT,
+    commit: bool = True,
 ) -> int:
     """Write ``df`` as the next snapshot version of the table at
     ``root`` and make it current.  Returns the new version number.
@@ -346,7 +347,14 @@ def write_snapshot(
     Commit order: data files → spec (bucket layout metadata) →
     ``_committed`` marker (the atomic visibility flip) → best-effort
     version hint.  Readers polling :func:`read_snapshot` concurrently
-    see the previous version until the marker lands."""
+    see the previous version until the marker lands.
+
+    ``commit=False`` stops after data + spec: the version stays
+    INVISIBLE to readers (and its number is never reused) until the
+    caller flips it with :func:`_commit_snapshot` — the hook
+    :func:`compact_snapshot` uses to checksum-verify BEFORE the flip
+    (ADVICE r6: verifying after the marker inverted compact_bucketed's
+    verify-before-swap contract)."""
     fs, _ = _snapshot_fs(spark, root)
     existing = _all_version_dirs(spark, root)
     version = (existing[-1] + 1) if existing else 1
@@ -372,15 +380,26 @@ def write_snapshot(
         "n_buckets int, bucket_cols array<string>,"
         " sort_cols array<string>",
     ).coalesce(1).write.mode("errorifexists").json(f"{vdir}/_spec")
+    if commit:
+        _commit_snapshot(spark, root, version)
+    return version
+
+
+def _commit_snapshot(
+    spark: SparkSession, root: str, version: int
+) -> None:
+    """The atomic visibility flip: create the ``_committed`` marker
+    (raising on a concurrent-writer collision) + best-effort hint."""
+    fs, _ = _snapshot_fs(spark, root)
     from memo_fraktur_ocr_code_spark.plans.checkpoint import _fs_and_path
 
+    vdir = f"{root}/v{version}"
     _, marker = _fs_and_path(spark, f"{vdir}/_committed")
     if not fs.createNewFile(marker):
         raise RuntimeError(
             f"snapshot commit collision at {vdir} — concurrent writer?"
         )
     _write_version_hint(spark, root, version)
-    return version
 
 
 def _write_version_hint(
@@ -460,6 +479,13 @@ def compact_snapshot(
     vdir = f"{root}/v{cur}"
     spec = spark.read.json(f"{vdir}/_spec").collect()[0]
     compacted = spark.table(src_table).coalesce(max(1, int(parallelism)))
+    # Write data + spec UNCOMMITTED, checksum-verify the new version
+    # through its (uncommitted) catalog entry, and only then create the
+    # _committed marker — on drift the function raises with the
+    # fragmented version still current and the drifted dir invisible
+    # to readers, restoring compact_bucketed's verify-before-swap
+    # contract (ADVICE r6: the old order flipped first and verified
+    # after, so a drifted compaction was already live when it raised).
     new_version = write_snapshot(
         spark,
         compacted,
@@ -467,6 +493,7 @@ def compact_snapshot(
         n_buckets=int(spec["n_buckets"]),
         bucket_cols=tuple(spec["bucket_cols"]),
         sort_cols=tuple(spec["sort_cols"]),
+        commit=not verify,
     )
     dst_table = _snapshot_table_name(root, new_version)
     out = {
@@ -482,7 +509,10 @@ def compact_snapshot(
             raise RuntimeError(
                 f"snapshot compaction drift: v{cur} ({n_src},"
                 f" {x_src:x}) != v{new_version} ({n_dst}, {x_dst:x})"
+                " — new version left uncommitted; readers keep"
+                f" v{cur}"
             )
+        _commit_snapshot(spark, root, new_version)
         out["verified"] = {"rows": n_src, "checksum": x_src}
     return out
 

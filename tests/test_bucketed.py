@@ -278,6 +278,42 @@ def test_snapshot_write_read_and_time_travel(spark, tmp_path):
         b.read_snapshot(spark, root, version=9)
 
 
+def test_snapshot_uncommitted_write_is_invisible_until_flip(
+    spark, tmp_path
+):
+    """ADVICE r6 fix: compact_snapshot must verify BEFORE the flip.
+    The mechanism: write_snapshot(commit=False) leaves the new version
+    invisible to every reader surface (current version, version list,
+    read_snapshot), its number is never reused, and _commit_snapshot
+    is the only thing that makes it current."""
+    import pytest
+
+    from memo_fraktur_ocr_code_spark.sources import bucketed as b
+
+    root = str(tmp_path / "snaps_vbf")
+    b.write_snapshot(spark, _snap_rows(spark, 40, "a"), root, n_buckets=4)
+    v2 = b.write_snapshot(
+        spark, _snap_rows(spark, 60, "b"), root, n_buckets=4,
+        commit=False,
+    )
+    # still invisible everywhere — readers keep v1
+    assert b.current_snapshot_version(spark, root) == 1
+    assert b.snapshot_versions(spark, root) == [1]
+    assert b.read_snapshot(spark, root).count() == 40
+    with pytest.raises(FileNotFoundError):
+        b.read_snapshot(spark, root, version=v2)
+    # the uncommitted number is burned, not reused
+    v3 = b.write_snapshot(
+        spark, _snap_rows(spark, 10, "c"), root, n_buckets=4,
+        commit=False,
+    )
+    assert v3 == v2 + 1
+    # the flip makes exactly the flipped version current
+    b._commit_snapshot(spark, root, v2)
+    assert b.current_snapshot_version(spark, root) == v2
+    assert b.read_snapshot(spark, root).count() == 60
+
+
 def test_snapshot_compaction_flip_is_atomic_and_preserves_old(
     spark, tmp_path
 ):

@@ -779,6 +779,14 @@ def minhash_lsh_pairs(
 #: operator-scoped storage deterministically instead of waiting for LRU
 #: eviction — the uniform version of the per-operator "caching note"
 #: contract (VERDICT r5 cache-hygiene item).
+#:
+#: SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r6): the registry is
+#: process-global, so ``release_operator_caches()`` from one call site
+#: unpersists caches enrolled by ANY in-flight operator in the same
+#: driver.  That is safe for correctness (Spark recomputes on a cache
+#: miss) but forfeits sharing; callers that interleave operators from
+#: several driver threads should release once, at the end of the whole
+#: batch, not per operator.
 _OPERATOR_CACHES: list[DataFrame] = []
 
 
@@ -829,16 +837,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
+    # ONE exchange (r7, guide §2.4): the neighborhood minimum is a
+    # window over the same ``u`` partitioning the old groupBy+join pair
+    # spent TWO exchanges establishing — identical per-group value
+    # (min is duplicate-immune), identical colocation/skew behaviour
+    # (either formulation gathers Γ(u) in one task).
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     # NO trailing distinct (r7): the only consumer is _small_star,
     # whose min-aggregation is duplicate-immune and whose round-final
     # distinct restores set semantics — the dedup exchange here bought
-    # nothing but a shuffle per round (guide §2.4).  Duplicate (v, m)
-    # rows between the stars are bounded by the emitting side's degree.
+    # nothing but a shuffle per round.  Duplicate (v, m) rows between
+    # the stars are bounded by the emitting side's degree.
     return (
-        sym.join(m, "u")
+        sym.select("u", "v", m.alias("m"))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -849,22 +861,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient every edge large→small, then every
     node connects its smaller neighbors (and itself) to the minimum of
     that set.  Emits ``(v, m)`` for v ∈ Γ<(u) ∪ {u} \\ {m}."""
-    # orientation WITHOUT a dedup exchange (r7): the min-aggregation
-    # below is duplicate-immune and the round ends in a distinct, so
-    # orienting duplicates forward costs bytes, not correctness
+    # orientation WITHOUT a dedup exchange (r7): the min below is
+    # duplicate-immune and the round ends in a distinct, so orienting
+    # duplicates forward costs bytes, not correctness
     oriented = (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
     )
-    m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # all v < u
-    spokes = (
-        oriented.join(m, "u")
-        .where(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    # ONE exchange for min + center election (r7): the old shape spent
+    # one exchange on the groupBy and a second shuffling ``oriented``
+    # into the join; a window over the same ``u`` partitioning computes
+    # min(v) per group in place, and row_number elects exactly one
+    # center row per u (any row works — the center's value is (u, m)).
+    w = Window.partitionBy("u")
+    ann = oriented.select(
+        "u",
+        "v",
+        F.min("v").over(w).alias("m"),  # all v < u
+        F.row_number().over(w.orderBy("v")).alias("_rn"),
     )
-    centers = m.select(F.col("u"), F.col("m").alias("v"))  # u > m always
+    spokes = ann.where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    centers = ann.where(F.col("_rn") == 1).select(
+        F.col("u"), F.col("m").alias("v")
+    )  # u > m always
     return spokes.unionByName(centers).distinct()
 
 

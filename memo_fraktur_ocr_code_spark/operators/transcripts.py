@@ -230,10 +230,20 @@ def flag_boilerplate_turns(
     bk = "_bk"
     while bk in df.columns:
         bk += "_"
+    bklen = bk + "len"
+    while bklen in df.columns:
+        bklen += "_"
     key = normalize_text_col(F.coalesce(F.col("text"), F.lit("")))
-    keyed = df.withColumn(bk, key)
+    # the frequency key is xxhash64(normalized text) — 8 bytes through
+    # the distinct-aggregation and the join instead of the full turn
+    # text (r7, guide §2.3; the dedup-module hash-is-identity premise —
+    # equal text ⇔ equal hash absent a 64-bit collision, and the
+    # min_chars exemption still reads the true normalized length)
+    keyed = df.withColumn(bk, F.xxhash64(key)).withColumn(
+        bklen, F.length(key)
+    )
     freq = (
-        keyed.where(F.length(bk) >= min_chars)
+        keyed.where(F.col(bklen) >= min_chars)
         .groupBy(bk)
         .agg(F.countDistinct("conv_id").alias("turn_conv_df"))
     )

@@ -28,7 +28,6 @@ from __future__ import annotations
 import re
 from difflib import SequenceMatcher
 
-from memo_fraktur_ocr_code_spark.functions.levtools import indel_ratio
 from memo_fraktur_ocr_code_spark.functions.textspec import (
     HARD_REPLACEMENTS,
     PILCROW_ESCAPE,
@@ -63,13 +62,21 @@ def _iter_align(orig_toks: tuple, first_tok: str, rest: tuple) -> list[str]:
     """Best binary split of orig_toks against (first_tok, rest) by summed
     indel ratio, with perfect-match early exit (align_ocr.py:178-196).
 
-    Output-identical pruning: indel_ratio(a, b) ≤ 2·min(|a|,|b|)/(|a|+|b|)
-    (equality iff one embeds in the other), so split points whose length
-    bound cannot beat the incumbent sum skip the O(n·m) DP entirely.  A
-    bounded-at-1 candidate is never skipped, preserving the reference's
-    perfect-match early-exit order."""
-    best_sum = 0.0
-    split = [orig_toks[0], SPLIT_SEP.join(orig_toks[1:])]
+    r7 two-sweep rewrite: every candidate ratio is a function of
+    LCS(prefix_i, first_tok) and LCS(suffix_i, rest_joined), and the
+    Allison-Dix bit-parallel LCS row extends incrementally per character
+    — so ONE forward sweep over the joined tokens (masks over
+    ``first_tok``) and ONE reversed sweep (masks over reversed
+    ``rest_joined``; LCS is reversal-invariant) yield all n+1 candidate
+    LCS values in O(total chars) bigint steps, replacing one O(n·m) DP
+    per candidate.  Value-identical: the ratios use the same integers
+    and the same division as ``indel_ratio``; the loop replicates the
+    reference's ascending-i perfect-match early exit and strict-improve
+    incumbent (the pre-r7 length-bound pruning it replaces was itself
+    value-neutral: the bound dominates the ratio, so skipped candidates
+    could neither early-exit nor improve the incumbent).  Pinned against
+    the pre-r7 implementation by the property twin in test_kernels."""
+    n = len(orig_toks)
     rest_joined = "".join(rest)
     lf, lr = len(first_tok), len(rest_joined)
     # cumulative joined-prefix lengths: lens[i] = len("".join(orig[:i]))
@@ -77,20 +84,57 @@ def _iter_align(orig_toks: tuple, first_tok: str, rest: tuple) -> list[str]:
     for t in orig_toks:
         lens.append(lens[-1] + len(t))
     total = lens[-1]
-    for i in range(len(orig_toks) + 1):
-        l1, l2 = lens[i], total - lens[i]
-        b1 = 1.0 if l1 + lf == 0 else (2.0 * min(l1, lf)) / (l1 + lf)
-        b2 = 1.0 if l2 + lr == 0 else (2.0 * min(l2, lr)) / (l2 + lr)
-        if b1 < 1.0 and b2 < 1.0 and b1 + b2 <= best_sum:
-            continue
-        p1, p2 = orig_toks[:i], orig_toks[i:]
-        r1 = indel_ratio("".join(p1), first_tok)
-        r2 = indel_ratio("".join(p2), rest_joined)
+
+    # forward sweep: lcs1[i] = LCS("".join(orig_toks[:i]), first_tok)
+    masks: dict = {}
+    bit = 1
+    for ch in first_tok:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    get = masks.get
+    lcs1 = [0] * (n + 1)
+    row = 0
+    for i, tok in enumerate(orig_toks):
+        for ch in tok:
+            x = row | get(ch, 0)
+            row = x & ~(x - ((row << 1) | 1))
+        lcs1[i + 1] = row.bit_count()
+
+    # reversed sweep: lcs2[i] = LCS("".join(orig_toks[i:]), rest_joined)
+    masks = {}
+    bit = 1
+    for ch in reversed(rest_joined):
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    get = masks.get
+    lcs2 = [0] * (n + 1)
+    row = 0
+    for i in range(n - 1, -1, -1):
+        for ch in reversed(orig_toks[i]):
+            x = row | get(ch, 0)
+            row = x & ~(x - ((row << 1) | 1))
+        lcs2[i] = row.bit_count()
+
+    best_sum = 0.0
+    split = [orig_toks[0], SPLIT_SEP.join(orig_toks[1:])]
+    for i in range(n + 1):
+        t1 = lens[i] + lf
+        t2 = (total - lens[i]) + lr
+        # same integers, same division as indel_ratio(a, b):
+        # (t - dist) / t with dist = t - 2*LCS
+        r1 = 1.0 if t1 == 0 else (t1 - (t1 - 2 * lcs1[i])) / t1
+        r2 = 1.0 if t2 == 0 else (t2 - (t2 - 2 * lcs2[i])) / t2
         if r1 == 1 or r2 == 1:
-            return [SPLIT_SEP.join(p1), SPLIT_SEP.join(p2)]
+            return [
+                SPLIT_SEP.join(orig_toks[:i]),
+                SPLIT_SEP.join(orig_toks[i:]),
+            ]
         if r1 + r2 > best_sum:
             best_sum = r1 + r2
-            split = [SPLIT_SEP.join(p1), SPLIT_SEP.join(p2)]
+            split = [
+                SPLIT_SEP.join(orig_toks[:i]),
+                SPLIT_SEP.join(orig_toks[i:]),
+            ]
     return split
 
 
@@ -255,14 +299,20 @@ def _correction_pair(frak: str, alt: str, fchar: str, achar: str) -> tuple[str, 
 def _good_pair(
     frak: str, alt: str, fchar: str, achar: str, most_frequent: frozenset
 ) -> bool:
-    """Guards for a useful correction pair (correct_ocr.py:136-153)."""
-    if frak.lower() in most_frequent:
-        return False
+    """Guards for a useful correction pair (correct_ocr.py:136-153).
+
+    The conjunction is commutative over pure predicates, so the cheap
+    C-level substring checks run first and the common-position test is a
+    single zip scan (== the reference's index-set intersection over the
+    shared index range) — allocation-free on the hot all-False path."""
     if fchar not in frak or achar not in alt:
         return False
-    fidx = {i for i, ch in enumerate(frak) if ch == fchar}
-    aidx = {i for i, ch in enumerate(alt) if ch == achar}
-    return bool(fidx & aidx)
+    if frak.lower() in most_frequent:
+        return False
+    for f, a in zip(frak, alt):
+        if f == fchar and a == achar:
+            return True
+    return False
 
 
 def _correct_chunk(
@@ -277,11 +327,12 @@ def _correct_chunk(
     chunk_str = " ".join(frak_toks)
     alt_str = " ".join(alt_toks)
     corr: dict[str, str] = {}
+    tok_pairs = list(zip(frak_toks, alt_toks))
     for fchar, achar in replacements:
         # chunk-level bail: a pair can only fire if both chars occur
         if fchar not in chunk_str or achar not in alt_str:
             continue
-        for f, a in zip(frak_toks, alt_toks):
+        for f, a in tok_pairs:
             if _good_pair(f, a, fchar, achar, most_frequent):
                 k, v = _correction_pair(f, a, fchar, achar)
                 corr[k] = v

@@ -45,9 +45,15 @@ def levenshtein(a: str, b: str) -> int:
 def indel_distance(a: str, b: str) -> int:
     """Edit distance with substitution cost 2 == len(a)+len(b)-2*LCS.
 
-    Common prefix/suffix are stripped before the DP (distance-invariant:
+    Common prefix/suffix are stripped first (distance-invariant:
     LCS(xay, xby) = |x| + LCS(a, b) + |y|), which collapses the hot
-    near-match case to a tiny DP."""
+    near-match case to a tiny core; the stripped middle runs the
+    Allison-Dix bit-parallel LCS — one bigint row per character, exact
+    integer arithmetic, so the value is identical to the classic DP
+    (pinned by the `_indel_distance_dp` property twin in test_kernels)
+    at a fraction of the interpreted cost.  This is the hottest kernel
+    of the alignment stage (~70% of `alt_ocr_correct` before the
+    rewrite, r7 profile)."""
     if a == b:
         return 0
     la, lb = len(a), len(b)
@@ -66,18 +72,46 @@ def indel_distance(a: str, b: str) -> int:
     a2, b2 = a[lo:ea], b[lo:eb]
     if not a2 or not b2:
         return len(a2) + len(b2)
-    # LCS length DP on the stripped middle
-    prev = [0] * (len(b2) + 1)
-    for i in range(1, len(a2) + 1):
-        cur = [0] * (len(b2) + 1)
-        ca = a2[i - 1]
-        for j in range(1, len(b2) + 1):
-            if ca == b2[j - 1]:
+    # mask the SHORTER side: bigint width (and mask build) scale with
+    # the masked string; LCS is symmetric so the swap is value-neutral
+    if len(b2) > len(a2):
+        a2, b2 = b2, a2
+    masks: dict = {}
+    bit = 1
+    for ch in b2:
+        masks[ch] = masks.get(ch, 0) | bit
+        bit <<= 1
+    row = 0
+    get = masks.get
+    for ch in a2:
+        x = row | get(ch, 0)
+        row = x & ~(x - ((row << 1) | 1))
+    return len(a2) + len(b2) - 2 * row.bit_count()
+
+
+def _indel_distance_dp(a: str, b: str) -> int:
+    """Classic O(n·m) LCS-row DP twin of :func:`indel_distance` — the
+    engine-portable spec the bit-parallel path must match value-for-value
+    (property-tested; not used in any query path).  This is the exact
+    pre-r7 implementation."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            if ca == b[j - 1]:
                 cur[j] = prev[j - 1] + 1
             else:
                 cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
         prev = cur
-    return len(a2) + len(b2) - 2 * prev[len(b2)]
+    return la + lb - 2 * prev[lb]
 
 
 def indel_ratio(a: str, b: str) -> float:

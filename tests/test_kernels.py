@@ -87,6 +87,39 @@ def test_levenshtein_and_ratio():
     assert osa_distance("abcdef", "x", 2) == 3  # cutoff → max+1
 
 
+def test_indel_bitparallel_matches_dp_twin():
+    """indel_distance's Allison-Dix bit-parallel core (r7) must equal
+    the classic LCS-row DP it replaced, value-for-value, across random
+    inputs (multi-byte chars included), boundary shapes, and the
+    near-match shapes the prefix/suffix strip targets."""
+    import random
+
+    from memo_fraktur_ocr_code_spark.functions.levtools import (
+        _indel_distance_dp,
+        indel_distance,
+    )
+
+    rng = random.Random(20260822)
+    alpha = "abæſ¶◇☐ xyz"
+    for _ in range(4000):
+        a = "".join(
+            rng.choice(alpha) for _ in range(rng.randrange(0, 40))
+        )
+        b = "".join(
+            rng.choice(alpha) for _ in range(rng.randrange(0, 40))
+        )
+        assert indel_distance(a, b) == _indel_distance_dp(a, b), (a, b)
+    # long asymmetric pair exercises the shorter-side-masked swap
+    a = "".join(rng.choice(alpha) for _ in range(700))
+    b = "".join(rng.choice(alpha) for _ in range(90))
+    assert indel_distance(a, b) == _indel_distance_dp(a, b)
+    for a, b in [
+        ("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+        ("prefixXsuffix", "prefixYsuffix"), ("aaaa", "aa"),
+    ]:
+        assert indel_distance(a, b) == _indel_distance_dp(a, b)
+
+
 def test_cer_defs_distinct():
     assert cer_of_pair(1, "tyske") == 20.0
     assert cer_of_pair(0, "x") == 0.0

@@ -24,8 +24,11 @@ across runs and executors.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 # Fixed odd LCG multipliers for MinHash permutations (seeded,
 # deterministic — parameters are part of the spec).  The 31-bit prime keeps
@@ -898,6 +901,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 50,
     check_every: int = 4,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pair edges → (id, cluster_id),
     cluster_id = the component's smallest member id.
@@ -929,11 +933,31 @@ def connected_components(
     ``vertices`` (optional, column ``id``): include singleton documents —
     they come back as their own cluster.
 
+    ``small_graph_edges`` (r7, size-adaptive execution — the broadcast-
+    join-threshold pattern, guide §1.2/§5): when the deduplicated edge
+    set is at most this many rows, skip the star rounds entirely and
+    label the graph with one driver-side union-find — the edge count is
+    already known from the checkpoint's materializing action, the
+    collect is structurally bounded by the threshold (≤ 2 ids/row), and
+    a handful of driver microseconds replaces ~3 shuffle stages per
+    pair-round plus cadence jobs.  Components (and therefore min-id
+    labels) are algorithm-independent, so the output is identical on
+    both paths (pinned by test_operators).  Default from env
+    ``SPARK_GRAFT_CC_DRIVER_EDGES`` (fallback 1_000_000 ≈ tens of MB
+    collected); 0 disables the fast path.  At the 100 TB design point a
+    near-dup edge set exceeds the threshold and takes the distributed
+    loop — the fast path is the standard "finish the residual graph
+    locally" move, not a local-mode shortcut.
+
     Raises ``RuntimeError`` if the edge set is still contracting after
     ``max_iter`` pair-rounds — a partially-contracted result would
     silently split real clusters (several 'canonical' keeps per true
     cluster), so non-convergence must be loud, not a wrong answer.
     """
+    if small_graph_edges is None:
+        small_graph_edges = int(
+            os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "1000000")
+        )
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -951,8 +975,52 @@ def connected_components(
         )
     else:
         verts = vertices.select("id").distinct()
+    # one count on the materialized checkpoint serves both the
+    # singleton-only gate and the small-graph gate
+    n_edges = cur.count()
+    if 0 < n_edges <= small_graph_edges:
+        pairs = cur.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs:
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        spark = cur.sparkSession
+        utype = cur.schema["u"].dataType
+        labels = spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent],
+            StructType(
+                [StructField("id", utype), StructField("cid", utype)]
+            ),
+        )
+        out = verts.join(labels, "id", "left").select(
+            "id", F.coalesce("cid", F.col("id")).alias("cluster_id")
+        )
+        out = out.localCheckpoint(eager=True)
+        _release_local_checkpoint(cur)
+        return out
     # singleton-only graphs: no edges, nothing to contract
-    converged = cur.isEmpty()
+    converged = n_edges == 0
     rounds = 0
     # first span is a single pair: duplicate clusters are near-cliques
     # that star-ify in one pair-round, so checking early saves

@@ -931,18 +931,22 @@ def test_connected_components_nonconvergence_is_loud(spark):
     )
 
     # a 256-node chain cannot reach one star in a single pair-round
+    # (small_graph_edges=0 pins the distributed star path — the driver
+    # fast path would solve any small graph without iterating)
     long_chain = spark.createDataFrame(
         [(i, i + 1) for i in range(255)], "id_a bigint, id_b bigint"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(long_chain, max_iter=1, check_every=1)
+        connected_components(
+            long_chain, max_iter=1, check_every=1, small_graph_edges=0
+        )
     # a converging run leaves at most the returned labels + epsilon
     # persisted (superseded rounds are released eagerly, not GC-deferred)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    connected_components(chain).count()
+    connected_components(chain, small_graph_edges=0).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after - before <= 2
 
@@ -962,7 +966,10 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
     )
     # ~log2(1000) ≈ 10 pair-rounds; 16 is a hard logarithmic budget and
     # two orders of magnitude below the diameter
-    labels = connected_components(chain, max_iter=16).collect()
+    # (small_graph_edges=0 pins the star path under test)
+    labels = connected_components(
+        chain, max_iter=16, small_graph_edges=0
+    ).collect()
     assert len(labels) == n
     assert {r.cluster_id for r in labels} == {0}
 
@@ -1001,11 +1008,17 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             want[v] = min(u for u in range(n) if find(u) == r)
         edf = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         vdf = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
-        got = {
-            r.id: r.cluster_id
-            for r in connected_components(edf, vertices=vdf).collect()
-        }
-        assert got == want, f"trial {trial}"
+        # both execution paths must equal the reference union-find:
+        # small_graph_edges=0 pins the distributed star rounds, the
+        # large threshold pins the r7 driver fast path
+        for thresh in (0, 1_000_000):
+            got = {
+                r.id: r.cluster_id
+                for r in connected_components(
+                    edf, vertices=vdf, small_graph_edges=thresh
+                ).collect()
+            }
+            assert got == want, f"trial {trial} thresh {thresh}"
 
 
 def test_connected_components_pair_round_budget_is_exact(spark):
@@ -1027,12 +1040,15 @@ def test_connected_components_pair_round_budget_is_exact(spark):
     tri = spark.createDataFrame(
         [(0, 1), (1, 2), (0, 2)], "id_a bigint, id_b bigint"
     )
+    # small_graph_edges=0 pins the star path whose budget is under test
     with _pytest.raises(RuntimeError, match="did not converge in 1"):
-        connected_components(tri, max_iter=1, check_every=4)
+        connected_components(
+            tri, max_iter=1, check_every=4, small_graph_edges=0
+        )
     labels = {
         r.id: r.cluster_id
         for r in connected_components(
-            tri, max_iter=2, check_every=4
+            tri, max_iter=2, check_every=4, small_graph_edges=0
         ).collect()
     }
     assert labels == {0: 0, 1: 0, 2: 0}
